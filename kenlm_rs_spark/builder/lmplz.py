@@ -1,0 +1,287 @@
+"""lmplz-lite: interpolated modified Kneser-Ney LM estimation as a Spark
+DataFrame dataflow.
+
+This re-expresses the reference's streaming estimation pipeline
+(/root/reference/src/cxx/lm/builder/pipeline.cc:339-377) Spark-first. Stage
+mapping (SURVEY.md §2.4):
+
+  A1 CorpusCount   -> explode <s>-truncated windows, groupBy(gram).count()
+                      (corpus_count.cc; partial aggregation = the reference's
+                      per-block hash dedupe + combiner A2)
+  A3 AdjustCounts  -> continuation counts via groupBy(suffix) +
+                      countDistinct(first word); n_1..n_4 statistics and
+                      Chen-Goodman eq. 26 discounts
+                      (adjust_counts.cc:47-74; <s>-initial grams keep raw
+                      counts per adjust_counts.hh:33-56)
+  A4 InitialProbs  -> per-context Window/groupBy sums: uninterpolated
+                      u = (a - D(a))/sum, gamma = (D1 N1 + D2 N2 + D3 N3+)/sum
+                      (initial_probabilities.cc)
+  A5 Interpolate   -> orders ascending, join order-n with interpolated
+                      order-(n-1) on the backoff suffix; unigram base is
+                      uniform 1/(vocab-1) (interpolate.hh:21-23)
+  J1               -> the gamma join is the suffix-sorted merge join of the
+                      reference, expressed as a DataFrame equi-join (Spark
+                      picks SMJ/broadcast after AQE)
+
+The big-data half (counting + adjustment + per-context sums) stays
+distributed; the final model (vocabulary-sized, not corpus-sized) is collected
+to the driver and emitted as ARPA, which NGramModel.from_arpa then loads for
+scoring parity with KenLM semantics.
+
+Sentence-boundary conventions match corpus_count.cc:80-92: each sentence is
+[<s>] + tokens + [</s>]; every non-<s> position yields one window of length
+min(position+1, N) truncated at <s>. <s>/<unk>/</s> occurring in the INPUT
+text are removed first (corpus_count.cc:175-179 forbids them).
+"""
+
+from __future__ import annotations
+
+import io
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..lm.arpa import ArpaSections, ProbBackoffNgram, ProbNgram, write_arpa
+from ..ops.textstats import TOKEN_SPLIT
+
+FALLBACK_DISCOUNTS = (0.0, 0.5, 1.0, 1.5)  # lmplz --discount_fallback defaults
+
+RESERVED = ("<s>", "</s>", "<unk>")
+
+
+def _sentence_windows(df: DataFrame, text_col: str, order: int) -> DataFrame:
+    """One row per (window ending at each non-<s> position): column ``gram``
+    (array<string>, length 1..order, truncated at <s>)."""
+    toks = F.filter(
+        F.split(F.col(text_col), TOKEN_SPLIT),
+        lambda w: (w != "") & ~w.isin(*RESERVED),
+    )
+    padded = F.concat(F.array(F.lit("<s>")), toks, F.array(F.lit("</s>")))
+    # positions 1..len-1 (skip the <s> itself); window = slice of up to N
+    # tokens ending at position i, truncated at index 0
+    # 1-based position p = i+1 over padded; window = padded[start..p] with
+    # start = max(1, p-N+1), i.e. truncated at <s>
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(padded) - 1),
+        lambda i: F.slice(
+            padded,
+            F.greatest(i - (order - 2), F.lit(1)),
+            (i + 2) - F.greatest(i - (order - 2), F.lit(1)),
+        ),
+    )
+    return df.select(F.explode(grams).alias("gram"))
+
+
+def raw_window_counts(df: DataFrame, text_col: str, order: int) -> DataFrame:
+    """(gram array, n order, count) for all window lengths 1..N."""
+    w = _sentence_windows(df, text_col, order)
+    return (
+        w.groupBy("gram")
+        .agg(F.count("*").alias("count"))
+        .withColumn("n", F.size("gram"))
+    )
+
+
+def adjusted_counts(raw: DataFrame, order: int) -> DataFrame:
+    """A3: order-N grams keep raw counts; each lower order n gets
+    continuation counts |{v : (v . g) in adjusted_(n+1)}| — cascading from
+    the order above, as AdjustCounts derives all orders in one suffix-sorted
+    pass (adjust_counts.hh:33-56) — except <s>-initial grams, which keep raw
+    window counts (nothing can precede <s>). The <s> unigram itself carries
+    the sentence count (its raw occurrence count)."""
+    adj_above = raw.filter(F.col("n") == order).select("gram", "n", "count")
+    parts = [adj_above]
+    for n in range(order - 1, 0, -1):
+        cont = (
+            adj_above.withColumn("suffix", F.slice("gram", 2, n))
+            .filter(F.element_at("suffix", 1) != "<s>")
+            .groupBy(F.col("suffix").alias("gram"))
+            .agg(F.count("*").alias("count"))  # rows are distinct grams => distinct v
+            .withColumn("n", F.lit(n))
+            .select("gram", "n", "count")
+        )
+        bos = raw.filter(
+            (F.col("n") == n) & (F.element_at("gram", 1) == "<s>")
+        ).select("gram", "n", "count")
+        if n == 1:
+            # <s> unigram: raw count = number of sentences = sum of <s>-initial
+            # bigram window counts
+            bos_uni = (
+                raw.filter((F.col("n") == 2) & (F.element_at("gram", 1) == "<s>"))
+                .agg(F.sum("count").alias("count"))
+                .select(
+                    F.array(F.lit("<s>")).alias("gram"),
+                    F.lit(1).alias("n"),
+                    F.col("count"),
+                )
+            )
+            bos = bos.unionByName(bos_uni)
+        adj_above = cont.unionByName(bos)
+        parts.append(adj_above)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def discount_stats(adjusted: DataFrame, order: int) -> dict[int, tuple]:
+    """n_j statistics and Chen-Goodman eq. 26 discounts per order, with the
+    lmplz fallback for degenerate data (adjust_counts.cc:40-74)."""
+    rows = (
+        adjusted.filter(F.col("count") <= 4)
+        .groupBy("n", "count")
+        .agg(F.count("*").alias("freq"))
+        .collect()
+    )
+    njs = {n: {j: 0 for j in range(1, 5)} for n in range(1, order + 1)}
+    for r in rows:
+        njs[r["n"]][int(r["count"])] = r["freq"]
+    discounts = {}
+    for n in range(1, order + 1):
+        s = njs[n]
+        try:
+            if s[1] == 0 or s[2] == 0 or s[3] == 0:
+                raise ZeroDivisionError
+            y = s[1] / (s[1] + 2.0 * s[2])
+            d = [0.0] + [
+                j - (j + 1) * y * s[j + 1] / s[j] for j in range(1, 4)
+            ]
+            for j in range(1, 4):
+                if d[j] < 0 or d[j] > j:
+                    raise ZeroDivisionError
+            discounts[n] = tuple(d)
+        except ZeroDivisionError:
+            discounts[n] = FALLBACK_DISCOUNTS
+    return discounts
+
+
+def initial_probabilities(adjusted: DataFrame, discounts: dict, order: int):
+    """A4: per-order uninterpolated probs + per-context gammas.
+
+    Returns (probs_df: gram,n,u ; gammas_df: ctx,n_ctx,gamma) where gamma is
+    keyed by the CONTEXT gram (length n-1) it backs off from."""
+    sc_disc = [
+        (n, float(discounts[n][1]), float(discounts[n][2]), float(discounts[n][3]))
+        for n in range(1, order + 1)
+    ]
+    disc_df = adjusted.sparkSession.createDataFrame(
+        sc_disc, "n int, d1 double, d2 double, d3 double"
+    )
+    # the <s> unigram never receives probability mass (p(<s>) = 0,
+    # interpolate.hh:21-23) and is excluded from unigram normalization —
+    # verified against real lmplz output: unigram mass excl. <s> is exactly 1
+    a = adjusted.filter(~((F.col("n") == 1) & (F.element_at("gram", 1) == "<s>")))
+    a = a.join(F.broadcast(disc_df), "n")
+    a = a.withColumn("ctx", F.slice("gram", 1, F.col("n") - 1))
+    grp = a.groupBy("n", "ctx").agg(
+        F.sum("count").alias("denom"),
+        F.sum(F.when(F.col("count") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("count") == 2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("count") >= 3, 1).otherwise(0)).alias("n3p"),
+        F.first("d1").alias("d1"),
+        F.first("d2").alias("d2"),
+        F.first("d3").alias("d3"),
+    )
+    gammas = grp.select(
+        F.col("ctx").alias("gram"),
+        (F.col("n") - 1).alias("n_ctx"),
+        (
+            (F.col("d1") * F.col("n1") + F.col("d2") * F.col("n2") + F.col("d3") * F.col("n3p"))
+            / F.col("denom")
+        ).alias("gamma"),
+    )
+    probs = (
+        a.join(grp.select("n", "ctx", "denom"), ["n", "ctx"])
+        .withColumn(
+            "D",
+            F.when(F.col("count") >= 3, F.col("d3"))
+            .when(F.col("count") == 2, F.col("d2"))
+            .otherwise(F.col("d1")),
+        )
+        .select(
+            "gram",
+            "n",
+            ((F.col("count") - F.col("D")) / F.col("denom")).alias("u"),
+        )
+    )
+    return probs, gammas
+
+
+def estimate_arpa_sections(
+    df: DataFrame, text_col: str = "text", order: int = 3
+) -> ArpaSections:
+    """Full estimation -> ARPA sections (driver-side result, model-sized)."""
+    spark = df.sparkSession
+    raw = raw_window_counts(df, text_col, order).cache()
+    adj = adjusted_counts(raw, order).cache()
+    discounts = discount_stats(adj, order)
+    probs, gammas = initial_probabilities(adj, discounts, order)
+    probs = probs.cache()
+    gammas = gammas.cache()
+
+    # vocabulary size for the uniform base: unigram types - 1 (p(<s>)=0,
+    # interpolate.hh:21-23), + 1 for <unk> which we always emit
+    vocab_rows = probs.filter(F.col("n") == 1).count()  # excludes <s>
+    vocab_size = vocab_rows + 1  # + <unk>
+    uniform = 1.0 / max(vocab_size, 1)
+
+    # A5: interpolate orders ascending; keep results as python dicts keyed by
+    # the gram tuple (model-sized from here on).
+    p_prev: dict[tuple, float] = {}
+    gamma_by_ctx: dict[tuple, float] = {
+        tuple(r["gram"]): r["gamma"] for r in gammas.collect()
+    }
+    sections = ArpaSections(counts=[])
+    backoff_orders: list[list[ProbBackoffNgram]] = []
+    top_records: list[ProbNgram] = []
+
+    for n in range(1, order + 1):
+        rows = probs.filter(F.col("n") == n).collect()
+        p_cur: dict[tuple, float] = {}
+        g_eps = gamma_by_ctx.get((), 0.0)
+        if n == 1:
+            for r in rows:
+                g = tuple(r["gram"])
+                p_cur[g] = r["u"] + g_eps * uniform
+            if ("<unk>",) not in p_cur:
+                p_cur[("<unk>",)] = g_eps * uniform
+            p_cur[("<s>",)] = 0.0  # emitted as -99; backoff = gamma(<s>)
+        else:
+            for r in rows:
+                g = tuple(r["gram"])
+                ctx_gamma = gamma_by_ctx.get(g[:-1], 0.0)
+                lower = p_prev.get(g[1:], uniform)
+                p_cur[g] = r["u"] + ctx_gamma * lower
+        # emit records
+        if n < order:
+            recs = []
+            for g, p in sorted(p_cur.items()):
+                bo = gamma_by_ctx.get(g, 0.0)
+                log_bo = math.log10(bo) if bo > 0 else -0.0
+                if g == ("<s>",):
+                    lp = -99.0  # never predicted (interpolate.hh:21-23)
+                else:
+                    lp = math.log10(p) if p > 0 else -99.0
+                recs.append(ProbBackoffNgram(lp, g, log_bo))
+            backoff_orders.append(recs)
+        else:
+            for g, p in sorted(p_cur.items()):
+                lp = math.log10(p) if p > 0 else -99.0
+                top_records.append(ProbNgram(lp, g))
+        sections.counts.append(len(p_cur))
+        p_prev = p_cur
+
+    sections.backoffs = backoff_orders
+    sections.no_backoff = top_records
+    raw.unpersist()
+    adj.unpersist()
+    return sections
+
+
+def estimate_arpa(df: DataFrame, text_col: str = "text", order: int = 3) -> str:
+    """Estimate and render the ARPA text."""
+    sections = estimate_arpa_sections(df, text_col, order)
+    buf = io.StringIO()
+    write_arpa(sections, buf)
+    return buf.getvalue()

@@ -1,0 +1,205 @@
+"""Deduplication operators for web-scale training data.
+
+All variants are expressed as DataFrame plans over engine-portable hashing
+(md5), so results are deterministic and independently checkable by a SQL
+oracle. Scale notes per operator are inline — these are designed for the
+10^12-document regime, not just the test tables.
+
+- exact:        hash-groupBy on a normalized fingerprint. One shuffle on a
+                uniformly distributed md5 key — no skew by construction.
+- minhash LSH:  shingle -> K minhashes -> B bands -> bucket join. Candidate
+                generation is a groupBy on (band, signature); verification is
+                an exact Jaccard join restricted to bucket-mates. The band
+                signature is a uniformly-random key, so the shuffle is
+                balanced; only true near-duplicate clusters collide.
+- simhash:      64-bit per-doc signature from per-shingle md5 bits; near-dup
+                candidates share the signature (or a rotated prefix).
+- ngram Jaccard: exact pairwise similarity via shingle inverted index —
+                the verification kernel (use only behind a blocking stage at
+                scale; frequency-capped below to bound the join fan-out).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import doc_fingerprint, ngrams_col
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical (normalized) documents.
+
+    Returns (fingerprint, group_size, keep_id=min id, dup_ids)."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            doc_fingerprint(F.col(text_col)).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("doc_id").alias("keep_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("member_ids"),
+        )
+    )
+
+
+def _shingles(text_col, n: int):
+    return F.array_distinct(ngrams_col(text_col, n))
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc_id, shingle) — distinct shingles per doc, plus per-doc set size."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        _shingles(F.col(text_col), n).alias("shingles"),
+    ).withColumn("set_size", F.size("shingles"))
+    return base.select(
+        "doc_id", "set_size", F.explode("shingles").alias("shingle")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """K minhashes per doc. hash_i(s) = md5(i || ':' || s); the minimum is
+    taken lexicographically over the fixed-width hex digest — a valid uniform
+    permutation surrogate that is bit-identical in any engine with md5."""
+    sh = shingle_table(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs agreeing on any full band of
+    minhashes. Returns (band, id_a, id_b) distinct pairs with id_a < id_b."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, shingle_n, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("sig"))
+        )
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets via inverted-index self-join.
+
+    ``max_shingle_freq`` drops stop-shingles before the join — the fan-out
+    cap that keeps the candidate count near-linear at corpus scale (a shingle
+    in f docs contributes f^2 pairs)."""
+    sh = shingle_table(df, id_col, text_col, shingle_n)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh = sh.join(
+        F.broadcast(freq.filter(F.col("df") <= max_shingle_freq).select("shingle")),
+        "shingle",
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash over shingle md5s: per-bit majority vote.
+
+    bit_b(s) = bit b of the top-60-bit integer of md5(s); signature bit b is 1
+    iff more shingles set it than not. ``bits`` kept modest so the SQL oracle
+    stays tractable; the construction generalizes to 64 unchanged."""
+    sh = shingle_table(df, id_col, text_col, shingle_n)
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint")
+    sh = sh.withColumn("h", h)
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = sh.groupBy("doc_id").agg(*votes)
+    sig = F.lit(0).cast("bigint")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    shingle_n: int = 2, bits: int = 16,
+) -> DataFrame:
+    """Docs sharing an identical simhash signature (hamming-0 buckets)."""
+    sigs = simhash_signatures(df, id_col, text_col, shingle_n, bits)
+    return (
+        sigs.groupBy("simhash")
+        .agg(F.count("*").alias("group_size"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("group_size") > 1)
+    )

@@ -1,0 +1,117 @@
+"""Text analysis operators over document tables — pure Spark SQL columns.
+
+Everything here stays inside whole-stage codegen (no Python). These are the
+heuristic-quality / token-accounting primitives a CCNet-style filter needs
+(SURVEY.md §7 step 11) plus training-data-pipeline extras (token counting,
+document fingerprinting, n-gram generation reused by the dedup operators and
+by the lmplz builder's CorpusCount stage A1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# the reference's exact corpus delimiters (corpus_count.cc:241-246)
+TOKEN_SPLIT = "[\\x00\\t\\n\\r ]+"
+
+STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that for on as "
+    "with at by from i you he she we they".split()
+)
+
+
+def tokens_col(text: Column) -> Column:
+    """Split on the reference delimiter set, dropping empties."""
+    return F.filter(F.split(text, TOKEN_SPLIT), lambda w: w != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def symbol_ratio(text: Column) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    stripped = F.regexp_replace(text, "[A-Za-z0-9 ]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def digit_ratio(text: Column) -> Column:
+    digits = F.length(text) - F.length(F.regexp_replace(text, "[0-9]", ""))
+    return digits / F.greatest(F.length(text), F.lit(1))
+
+
+def uppercase_ratio(text: Column) -> Column:
+    upper = F.length(text) - F.length(F.regexp_replace(text, "[A-Z]", ""))
+    return upper / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens_col(F.lower(text))
+    stops = F.filter(toks, lambda w: w.isin(*STOPWORDS))
+    return F.size(stops) / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens_col(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def ngrams_col(text: Column, n: int) -> Column:
+    """Array of space-joined word n-grams (sliding windows)."""
+    toks = tokens_col(text)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+
+
+def dup_ngram_fraction(text: Column, n: int = 3) -> Column:
+    """Repetition measure: 1 - distinct/total word n-grams (the dup-line
+    fraction analogue for single-line documents)."""
+    grams = ngrams_col(text, n)
+    return F.when(F.size(grams) <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(grams)) / F.size(grams)
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint: md5 of whitespace-normalized,
+    lowercased text. Stable across engines (used as the dedup key)."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), TOKEN_SPLIT, " ")
+    return F.md5(normalized)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full heuristic feature set as flat columns."""
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(t))
+        .withColumn("n_chars_m", char_count(t))
+        .withColumn("symbol_ratio", symbol_ratio(t))
+        .withColumn("digit_ratio", digit_ratio(t))
+        .withColumn("upper_ratio", uppercase_ratio(t))
+        .withColumn("stop_ratio", stopword_ratio(t))
+        .withColumn("mean_word_len", mean_word_length(t))
+        .withColumn("dup3_frac", dup_ngram_fraction(t, 3))
+    )
+
+
+def explode_ngrams(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    """documents -> one row per word n-gram occurrence (CorpusCount shape, A1).
+
+    At scale this is a narrow map — no shuffle until the downstream
+    groupBy(ngram).count(), where Catalyst inserts partial aggregation
+    (the reference's per-block hash dedupe + sort combiner, A1/A2)."""
+    return df.select(F.explode(ngrams_col(F.col(text_col), n)).alias("ngram"))
+
+
+def ngram_counts(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    return explode_ngrams(df, n, text_col).groupBy("ngram").agg(
+        F.count("*").alias("count")
+    )

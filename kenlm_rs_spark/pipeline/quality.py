@@ -1,0 +1,96 @@
+"""CCNet-style keep/drop decision: heuristic rules + perplexity buckets.
+
+All rule columns are pure Spark SQL (whole-stage codegen); only the KenLM
+perplexity and langid columns come from the pandas UDFs. The decision is an
+ordered rule chain — first failing rule wins, recorded as drop_reason for
+lineage (FIXTURES.md §4 expected-output schema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..ops import textstats as ts
+
+# frozen rule thresholds (versioned — changing any of these changes keep/drop
+# labels, so bump RULES_VERSION)
+RULES_VERSION = 1
+MIN_TOKENS = 8
+MAX_SYMBOL_RATIO = 0.12
+MAX_DIGIT_RATIO = 0.30
+MAX_DUP3_FRAC = 0.50
+MIN_LANG_CONF = 0.35
+
+
+def rule_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return ts.quality_features(df, text_col)
+
+
+def bucket_col(ppl: Column, head: Column, tail: Column) -> Column:
+    """head/middle/tail by per-language perplexity thresholds."""
+    return (
+        F.when(ppl <= head, "head").when(ppl >= tail, "tail").otherwise("middle")
+    )
+
+
+def decide(
+    df: DataFrame,
+    ppl_col: str = "ppl",
+    bucket: str = "bucket",
+    lang_conf_col: str | None = "lang_conf",
+) -> DataFrame:
+    """Attach keep boolean + drop_reason (first failing rule, fixed order)."""
+    reasons = [
+        (F.col("n_tokens") < MIN_TOKENS, "too_short"),
+        (F.col("symbol_ratio") > MAX_SYMBOL_RATIO, "symbol_ratio"),
+        (F.col("digit_ratio") > MAX_DIGIT_RATIO, "digit_ratio"),
+        (F.col("dup3_frac") > MAX_DUP3_FRAC, "repetition"),
+    ]
+    if lang_conf_col is not None and lang_conf_col in df.columns:
+        reasons.append((F.col(lang_conf_col) < MIN_LANG_CONF, "lang_confidence"))
+    reasons.append((F.col(bucket) == "tail", "ppl_tail"))
+
+    reason = F.lit(None).cast("string")
+    for cond, name in reversed(reasons):
+        reason = F.when(cond, name).otherwise(reason)
+    return df.withColumn("drop_reason", reason).withColumn(
+        "keep", F.col("drop_reason").isNull()
+    )
+
+
+def ppl_thresholds(
+    df: DataFrame, lang_col: str = "lang_pred", ppl_col: str = "ppl",
+    probs=(1.0 / 3.0, 2.0 / 3.0), rel_err: float = 0.01,
+) -> dict[str, tuple[float, float]]:
+    """Per-language head/tail thresholds = empirical tertiles of document
+    perplexity (SURVEY.md §7 step 12). approxQuantile per language — an
+    offline, driver-side map that is then broadcast into the decision plan."""
+    langs = [r[0] for r in df.select(lang_col).distinct().collect()]
+    out = {}
+    for lang in langs:
+        if lang is None:
+            continue
+        qs = df.filter(F.col(lang_col) == lang).approxQuantile(
+            ppl_col, list(probs), rel_err
+        )
+        if len(qs) == 2:
+            out[lang] = (float(qs[0]), float(qs[1]))
+    return out
+
+
+def with_buckets(
+    df: DataFrame, thresholds: dict[str, tuple[float, float]],
+    lang_col: str = "lang_pred", ppl_col: str = "ppl",
+) -> DataFrame:
+    """Join the (tiny, broadcast) threshold map and derive the bucket."""
+    spark = df.sparkSession
+    rows = [(k, float(v[0]), float(v[1])) for k, v in thresholds.items()]
+    tdf = spark.createDataFrame(rows, f"{lang_col} string, t_head double, t_tail double")
+    joined = df.join(F.broadcast(tdf), lang_col, "left")
+    return joined.withColumn(
+        "bucket",
+        F.when(F.col("t_head").isNull(), "middle").otherwise(
+            bucket_col(F.col(ppl_col), F.col("t_head"), F.col("t_tail"))
+        ),
+    ).drop("t_head", "t_tail")
