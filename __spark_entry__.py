@@ -438,8 +438,11 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT unnest({_GRAMS3}) AS g FROM {toks}) GROUP BY g
             )
             SELECT ngram, cnt FROM tri
-            WHERE len(list_filter(string_split(ngram, ' '),
-                  y -> y NOT IN (SELECT w FROM top))) = 0
+            WHERE ngram NOT IN (
+              SELECT DISTINCT ngram FROM (
+                SELECT ngram, unnest(string_split(ngram, ' ')) AS w FROM tri
+              ) WHERE w NOT IN (SELECT w FROM top)
+            )
         """,
         "union_filter": f"""
             WITH bi AS (

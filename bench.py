@@ -1,0 +1,88 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": "filter_docs_per_sec", "value": N, "unit": "docs/sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs": N, ...}
+
+The headline metric is the CCNet-style filter pipeline throughput
+(docs/sec) over the documents table — scrub + heuristics + KenLM
+perplexity + buckets + keep/drop — with the LM already built/broadcast
+(steady-state scoring, matching how the reference's benchmark harness
+times queries after load, kenlm_benchmark_main.cc:80-120).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+BENCH_QUERIES = [
+    "perplexity_docs",
+    "filter_pipeline",
+    "token_stats",
+    "quality_features",
+    "pii_scrub",
+    "dedup_exact",
+    "minhash_signatures",
+    "dedup_jaccard",
+    "simhash",
+    "ngram_counts",
+    "continuation_counts",
+    "vocab_filter",
+    "suffix_sort_topk",
+    "j1_suffix_join",
+    "cosine_topk",
+    "lsh_ann",
+    "langid_docs",
+]
+
+
+def main():
+    import __spark_entry__ as entrymod
+    from kenlm_rs_spark.spark.session import get_spark
+
+    spark = get_spark(
+        "kenlm-bench", master=f"local[{CPUS}]",
+        shuffle_partitions=max(int(CPUS) * 2, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n_docs = docs.count()
+
+    # warm: build + broadcast the corpus LM once (excluded from timing, like
+    # the reference benchmark which times queries after model load)
+    entrymod._corpus_model(spark, SF_DIR)
+
+    qs = entrymod.queries()
+    timings = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    filter_sec = timings["filter_pipeline"]
+    docs_per_sec = round(n_docs / filter_sec, 2) if filter_sec else 0.0
+    out = {
+        "metric": "filter_docs_per_sec",
+        "value": docs_per_sec,
+        "unit": "docs/sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "docs": n_docs,
+        "cpus": int(CPUS),
+        "total_sec": round(sum(timings.values()), 2),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
