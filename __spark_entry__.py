@@ -107,6 +107,8 @@ def q_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.withColumn("lm", udf(F.col("text_scrubbed"))).select(
         "*", "lm.log10_prob", "lm.tokens", "lm.oov", "lm.ppl"
     ).drop("lm")
+    # scored once, reused for both the threshold pass and the decision pass
+    docs = docs.cache()
     thr = ppl_thresholds(docs, lang_col="lang_pred", ppl_col="ppl")
     docs = with_buckets(docs, thr, lang_col="lang_pred", ppl_col="ppl")
     docs = decide(docs, lang_conf_col=None)

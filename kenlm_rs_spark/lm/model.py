@@ -425,4 +425,11 @@ class NGramModel:
             longest=longest_tab,
             words=words,
         )
+        # gram inventory (ARPA records as word tuples, per order) — used by
+        # model interpolation (J2) to enumerate the union of n-grams
+        inventory: list[list[tuple]] = [[(w,) for w in words]]
+        for o in range(2, n_orders):
+            inventory.append([r.ngram for r in sections.backoffs[o - 1]])
+        inventory.append([r.ngram for r in sections.no_backoff])
+        model.gram_inventory = inventory
         return model

@@ -64,19 +64,24 @@ def ppl_thresholds(
     probs=(1.0 / 3.0, 2.0 / 3.0), rel_err: float = 0.01,
 ) -> dict[str, tuple[float, float]]:
     """Per-language head/tail thresholds = empirical tertiles of document
-    perplexity (SURVEY.md §7 step 12). approxQuantile per language — an
-    offline, driver-side map that is then broadcast into the decision plan."""
-    langs = [r[0] for r in df.select(lang_col).distinct().collect()]
-    out = {}
-    for lang in langs:
-        if lang is None:
-            continue
-        qs = df.filter(F.col(lang_col) == lang).approxQuantile(
-            ppl_col, list(probs), rel_err
+    perplexity (SURVEY.md §7 step 12). ONE pass: groupBy(lang) +
+    percentile_approx aggregate (partial aggregation map-side), instead of a
+    per-language approxQuantile loop that would rescan the upstream plan
+    once per language."""
+    accuracy = max(int(1.0 / rel_err), 100)
+    rows = (
+        df.filter(F.col(lang_col).isNotNull())
+        .groupBy(lang_col)
+        .agg(
+            F.percentile_approx(ppl_col, list(probs), accuracy).alias("qs")
         )
-        if len(qs) == 2:
-            out[lang] = (float(qs[0]), float(qs[1]))
-    return out
+        .collect()
+    )
+    return {
+        r[lang_col]: (float(r["qs"][0]), float(r["qs"][1]))
+        for r in rows
+        if r["qs"] and len(r["qs"]) == 2 and r["qs"][0] is not None
+    }
 
 
 def with_buckets(

