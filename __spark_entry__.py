@@ -281,6 +281,23 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def q_events_windowed(spark, sf_dir):
+    """Event-time tumbling-window aggregation over the events stream table
+    (the batch twin of streaming.drop_reason_rates): per hour x event_type,
+    count + mean value."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
+        )
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 for query vectors vec_id < 5."""
     emb = _emb(spark, sf_dir)
@@ -323,6 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_sort_topk": q_suffix_sort_topk,
         "j1_suffix_join": q_j1_suffix_join,
         "doc_fingerprint": q_doc_fingerprint,
+        "events_windowed": q_events_windowed,
         "cosine_topk": q_cosine_topk,
         "lsh_ann": q_lsh_ann,
     }
@@ -385,8 +403,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": f"""
             WITH sets AS (
               SELECT doc_id, list_distinct({_GRAMS3}) AS s FROM {toks}
-            ), sh AS (
+            ), sh0 AS (
               SELECT doc_id, len(s) AS set_size, unnest(s) AS shingle FROM sets
+            ), sh AS (
+              -- same stop-shingle frequency cap as the Spark plan
+              SELECT * FROM sh0 WHERE shingle IN (
+                SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 1000
+              )
             ), pairs AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                      a.set_size AS size_a, b.set_size AS size_b,
@@ -482,6 +505,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '[\\x00\\t\\n\\r ]+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        "events_windowed": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events, round(avg(value), 6) AS mean_value
+            FROM events GROUP BY 1, 2
         """,
         "cosine_topk": """
             WITH scored AS (

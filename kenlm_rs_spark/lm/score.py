@@ -49,7 +49,10 @@ def tokens_to_ids(model: NGramModel, tokens_flat: np.ndarray) -> np.ndarray:
     """
     if len(tokens_flat) == 0:
         return np.zeros(0, dtype=np.int64)
-    uniq, inv = np.unique(np.asarray(tokens_flat, dtype=object), return_inverse=True)
+    import pandas as pd
+
+    # hash-based factorize beats sort-based np.unique ~5x on object arrays
+    inv, uniq = pd.factorize(np.asarray(tokens_flat, dtype=object), sort=False)
     if model.word_to_id is not None:
         get = model.word_to_id.get
         uid = np.fromiter((get(w, 0) for w in uniq), dtype=np.int64, count=len(uniq))
