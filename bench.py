@@ -62,13 +62,18 @@ def main():
 
     qs = entrymod.queries()
     timings = {}
+    errors = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            df = qs[name](spark, SF_DIR)
+            df.count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # a broken query must not kill the bench line
+            errors[name] = str(e)[:200]
+            timings[name] = -1.0
 
-    filter_sec = timings["filter_pipeline"]
+    filter_sec = max(timings.get("filter_pipeline", 0.0), 0.0)
     docs_per_sec = round(n_docs / filter_sec, 2) if filter_sec else 0.0
     out = {
         "metric": "filter_docs_per_sec",
@@ -78,8 +83,10 @@ def main():
         "sf": SF_DIR,
         "docs": n_docs,
         "cpus": int(CPUS),
-        "total_sec": round(sum(timings.values()), 2),
+        "total_sec": round(sum(t for t in timings.values() if t > 0), 2),
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
 
