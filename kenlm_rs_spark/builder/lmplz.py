@@ -208,74 +208,113 @@ def initial_probabilities(adjusted: DataFrame, discounts: dict, order: int):
     return probs, gammas
 
 
-def estimate_arpa_sections(
-    df: DataFrame, text_col: str = "text", order: int = 3
-) -> ArpaSections:
-    """Full estimation -> ARPA sections (driver-side result, model-sized)."""
-    spark = df.sparkSession
-    raw = raw_window_counts(df, text_col, order).cache()
+def estimate_df(df: DataFrame, text_col: str = "text", order: int = 3) -> DataFrame:
+    """Full estimation as a distributed plan: returns a DataFrame
+    (n int, gram array<string>, p double, gamma double) — interpolated
+    probability and backoff weight (gamma; null when the gram is never a
+    context). Nothing corpus- or model-sized is collected: A5 is a chain of
+    per-order suffix joins (the reference's suffix-sorted merge, J1), so this
+    scales to models that do not fit on the driver; sinks may write it as a
+    parquet model table or collect it when broadcast-sized."""
+    raw = raw_window_counts(df, text_col, order)
     adj = adjusted_counts(raw, order).cache()
     discounts = discount_stats(adj, order)
     probs, gammas = initial_probabilities(adj, discounts, order)
     probs = probs.cache()
     gammas = gammas.cache()
 
-    # vocabulary size for the uniform base: unigram types - 1 (p(<s>)=0,
-    # interpolate.hh:21-23), + 1 for <unk> which we always emit
+    # scalars: uniform base 1/(vocab-1) (interpolate.hh:21-23) and gamma(eps)
     vocab_rows = probs.filter(F.col("n") == 1).count()  # excludes <s>
-    vocab_size = vocab_rows + 1  # + <unk>
-    uniform = 1.0 / max(vocab_size, 1)
+    uniform = 1.0 / max(vocab_rows + 1, 1)  # + <unk>
+    g_eps_row = gammas.filter(F.col("n_ctx") == 0).collect()
+    g_eps = float(g_eps_row[0]["gamma"]) if g_eps_row else 0.0
 
-    # A5: interpolate orders ascending; keep results as python dicts keyed by
-    # the gram tuple (model-sized from here on).
-    p_prev: dict[tuple, float] = {}
-    gamma_by_ctx: dict[tuple, float] = {
-        tuple(r["gram"]): r["gamma"] for r in gammas.collect()
-    }
+    gam = gammas.select(
+        F.col("gram").alias("g_ctx"), F.col("n_ctx"), F.col("gamma")
+    )
+
+    # order 1: p = u + gamma(eps) * uniform, plus injected <unk> and <s>
+    p1 = probs.filter(F.col("n") == 1).select(
+        "gram", (F.col("u") + F.lit(g_eps * uniform)).alias("p")
+    )
+    extra = df.sparkSession.createDataFrame(
+        [(["<unk>"], g_eps * uniform), (["<s>"], 0.0)],
+        "gram array<string>, p double",
+    )
+    p1 = p1.join(extra.select("gram"), "gram", "left_anti").unionByName(extra)
+    levels = [p1.withColumn("n", F.lit(1)).cache()]
+
+    # orders 2..N: p_n = u_n + gamma(ctx) * p_{n-1}(suffix) — suffix join chain
+    for n in range(2, order + 1):
+        pn = probs.filter(F.col("n") == n)
+        pn = pn.withColumn("ctx", F.slice("gram", 1, n - 1)).withColumn(
+            "suffix", F.slice("gram", 2, n - 1)
+        )
+        pn = pn.join(
+            gam.filter(F.col("n_ctx") == n - 1).select(
+                F.col("g_ctx").alias("ctx"), F.col("gamma").alias("ctx_gamma")
+            ),
+            "ctx",
+            "left",
+        )
+        lower = levels[n - 2].select(
+            F.col("gram").alias("suffix"), F.col("p").alias("p_lower")
+        )
+        pn = pn.join(lower, "suffix", "left")
+        pn = pn.select(
+            "gram",
+            (
+                F.col("u")
+                + F.coalesce(F.col("ctx_gamma"), F.lit(0.0))
+                * F.coalesce(F.col("p_lower"), F.lit(uniform))
+            ).alias("p"),
+        ).withColumn("n", F.lit(n)).cache()
+        levels.append(pn)
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.join(
+        gam.select(F.col("g_ctx").alias("gram"), "gamma"), "gram", "left"
+    ).select("n", "gram", "p", "gamma")
+
+
+def estimate_arpa_sections(
+    df: DataFrame, text_col: str = "text", order: int = 3
+) -> ArpaSections:
+    """Estimation -> ARPA sections (collects the final model-sized table)."""
+    rows = estimate_df(df, text_col, order).collect()
+    by_order: dict[int, list] = {}
+    for r in rows:
+        by_order.setdefault(r["n"], []).append(
+            (tuple(r["gram"]), r["p"], r["gamma"])
+        )
+
     sections = ArpaSections(counts=[])
     backoff_orders: list[list[ProbBackoffNgram]] = []
     top_records: list[ProbNgram] = []
-
     for n in range(1, order + 1):
-        rows = probs.filter(F.col("n") == n).collect()
-        p_cur: dict[tuple, float] = {}
-        g_eps = gamma_by_ctx.get((), 0.0)
-        if n == 1:
-            for r in rows:
-                g = tuple(r["gram"])
-                p_cur[g] = r["u"] + g_eps * uniform
-            if ("<unk>",) not in p_cur:
-                p_cur[("<unk>",)] = g_eps * uniform
-            p_cur[("<s>",)] = 0.0  # emitted as -99; backoff = gamma(<s>)
-        else:
-            for r in rows:
-                g = tuple(r["gram"])
-                ctx_gamma = gamma_by_ctx.get(g[:-1], 0.0)
-                lower = p_prev.get(g[1:], uniform)
-                p_cur[g] = r["u"] + ctx_gamma * lower
-        # emit records
+        recs = sorted(by_order.get(n, []))
+        sections.counts.append(len(recs))
         if n < order:
-            recs = []
-            for g, p in sorted(p_cur.items()):
-                bo = gamma_by_ctx.get(g, 0.0)
-                log_bo = math.log10(bo) if bo > 0 else -0.0
+            out = []
+            for g, p, gamma in recs:
                 if g == ("<s>",):
                     lp = -99.0  # never predicted (interpolate.hh:21-23)
                 else:
-                    lp = math.log10(p) if p > 0 else -99.0
-                recs.append(ProbBackoffNgram(lp, g, log_bo))
-            backoff_orders.append(recs)
+                    lp = math.log10(p) if p and p > 0 else -99.0
+                log_bo = (
+                    math.log10(gamma) if gamma is not None and gamma > 0 else -0.0
+                )
+                out.append(ProbBackoffNgram(lp, g, log_bo))
+            backoff_orders.append(out)
         else:
-            for g, p in sorted(p_cur.items()):
-                lp = math.log10(p) if p > 0 else -99.0
-                top_records.append(ProbNgram(lp, g))
-        sections.counts.append(len(p_cur))
-        p_prev = p_cur
-
+            top_records = [
+                ProbNgram(math.log10(p) if p and p > 0 else -99.0, g)
+                for g, p, _ in recs
+            ]
     sections.backoffs = backoff_orders
     sections.no_backoff = top_records
-    raw.unpersist()
-    adj.unpersist()
     return sections
 
 

@@ -21,6 +21,10 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_DOCS = int(os.environ.get("SCALING_DOCS", "120000"))
+# N and 4N parallelism levels. Default 8/32 uses the whole host; set
+# SCALING_CONFIGS=2,8 when external tenant load (observed loadavg ~10) would
+# starve the large configuration and understate scaling.
+CONFIGS = tuple(int(x) for x in os.environ.get("SCALING_CONFIGS", "8,32").split(","))
 PAGES = os.environ.get("SCALING_PAGES", f"/tmp/scaling_pages_{N_DOCS}.parquet")
 
 
@@ -56,11 +60,11 @@ def main():
     # interleave configurations and keep the best of two rounds each — the
     # host is shared with external load, so single runs are unreliable
     best = {}
-    for cpus in (8, 32, 8, 32):
+    for cpus in CONFIGS + CONFIGS:
         r = run_worker(cpus)
         if cpus not in best or r["docs_per_sec"] > best[cpus]["docs_per_sec"]:
             best[cpus] = r
-    r8, r32 = best[8], best[32]
+    r8, r32 = best[CONFIGS[0]], best[CONFIGS[1]]
     eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -69,31 +73,32 @@ def main():
 Sandbox proxy for N vs 4N executors (north_rule): the identical steady-state
 quality-filter job (extraction -> langid -> scrub -> heuristics -> per-language
 KenLM perplexity -> bucket -> keep/drop) over the identical input
-({r8['docs']} deterministic synthetic web pages, seed 42), run at `local[8]`
-and `local[32]` in fresh JVMs on the same 32-core host. Models/thresholds are
+({r8['docs']} deterministic synthetic web pages, seed 42), run at `local[{CONFIGS[0]}]`
+and `local[{CONFIGS[1]}]` in fresh JVMs on the same 32-core host. Models/thresholds are
 broadcast once (load time excluded, as in the reference benchmark harness).
-Efficiency = (rate@32 / rate@8) / 4; target >= 0.8. Caveat: a same-host
+Efficiency = (rate@4N / rate@N) / 4; target >= 0.8. Caveat: a same-host
 core-count proxy shares one memory subsystem, so it understates true
 multi-executor scaling; it also omits network shuffle cost (this job has no
 shuffle in its hot path by design).
 
 | parallelism | docs | wall sec | docs/sec |
 |---|---|---|---|
-| local[8]  (N)  | {r8['docs']} | {r8['sec']} | {r8['docs_per_sec']} |
-| local[32] (4N) | {r32['docs']} | {r32['sec']} | {r32['docs_per_sec']} |
+| local[{CONFIGS[0]}]  (N)  | {r8['docs']} | {r8['sec']} | {r8['docs_per_sec']} |
+| local[{CONFIGS[1]}] (4N) | {r32['docs']} | {r32['sec']} | {r32['docs_per_sec']} |
 
-**Speedup 8 -> 32: {r32['docs_per_sec'] / r8['docs_per_sec']:.2f}x; scaling efficiency: {eff:.2f}**
+**Speedup {CONFIGS[0]} -> {CONFIGS[1]}: {r32['docs_per_sec'] / r8['docs_per_sec']:.2f}x; scaling efficiency: {eff:.2f}**
 
 ## Raw lines
-- local[8]:  `{json.dumps(r8)}`
-- local[32]: `{json.dumps(r32)}`
+- local[{CONFIGS[0]}]:  `{json.dumps(r8)}`
+- local[{CONFIGS[1]}]: `{json.dumps(r32)}`
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(json.dumps({
         "docs": r8["docs"],
-        "docs_per_sec_8": r8["docs_per_sec"],
-        "docs_per_sec_32": r32["docs_per_sec"],
+        "configs": list(CONFIGS),
+        "docs_per_sec_n": r8["docs_per_sec"],
+        "docs_per_sec_4n": r32["docs_per_sec"],
         "efficiency": round(eff, 3),
     }))
 
