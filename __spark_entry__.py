@@ -298,6 +298,18 @@ def q_events_windowed(spark, sf_dir):
     )
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (custom stateful operator, batch form):
+    lag -> new-session flag -> running sum -> per-session aggregate."""
+    from kenlm_rs_spark.ops.sessions import sessionize_batch
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return sessionize_batch(ev).select(
+        "user_id", "session_id", "session_start", "session_end",
+        "n_events", "total_value",
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 for query vectors vec_id < 5."""
     emb = _emb(spark, sf_dir)
@@ -341,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_suffix_join": q_j1_suffix_join,
         "doc_fingerprint": q_doc_fingerprint,
         "events_windowed": q_events_windowed,
+        "events_sessionize": q_events_sessionize,
         "cosine_topk": q_cosine_topk,
         "lsh_ann": q_lsh_ann,
     }
@@ -510,6 +523,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events, round(avg(value), 6) AS mean_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT user_id, ts, value,
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id, min(ts) AS session_start,
+                   max(ts) AS session_end, count(*) AS n_events,
+                   round(sum(value), 6) AS total_value
+            FROM sess GROUP BY user_id, session_id
         """,
         "cosine_topk": """
             WITH scored AS (
