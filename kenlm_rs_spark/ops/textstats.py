@@ -98,18 +98,40 @@ def doc_fingerprint(text: Column) -> Column:
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the full heuristic feature set as flat columns."""
+    """Attach the full heuristic feature set as flat columns.
+
+    Tokenization is materialized ONCE into a temp column and every
+    token-derived feature reads it — Catalyst does not CSE the split across
+    independent column expressions, and the split dominates the stage cost."""
     t = F.col(text_col)
-    return (
-        df.withColumn("n_tokens", token_count(t))
+    toks = F.col("__toks")
+    grams3 = ngrams_from_tokens(toks, 3)
+    out = (
+        df.withColumn("__toks", tokens_col(t))
+        .withColumn("n_tokens", F.size(toks))
         .withColumn("n_chars_m", char_count(t))
         .withColumn("symbol_ratio", symbol_ratio(t))
         .withColumn("digit_ratio", digit_ratio(t))
         .withColumn("upper_ratio", uppercase_ratio(t))
-        .withColumn("stop_ratio", stopword_ratio(t))
-        .withColumn("mean_word_len", mean_word_length(t))
-        .withColumn("dup3_frac", dup_ngram_fraction(t, 3))
+        .withColumn(
+            "stop_ratio",
+            F.size(F.filter(toks, lambda w: F.lower(w).isin(*STOPWORDS)))
+            / F.greatest(F.size(toks), F.lit(1)),
+        )
+        .withColumn(
+            "mean_word_len",
+            F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+            / F.greatest(F.size(toks), F.lit(1)),
+        )
+        .withColumn(
+            "dup3_frac",
+            F.when(F.size(grams3) <= 0, F.lit(0.0)).otherwise(
+                1.0 - F.size(F.array_distinct(grams3)) / F.size(grams3)
+            ),
+        )
+        .drop("__toks")
     )
+    return out
 
 
 def explode_ngrams(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
