@@ -72,3 +72,31 @@ def test_salted_repartition_balances_zipf(spark):
         .groupBy("d").count().collect()
     }
     assert got == want
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-located join: both sides bucketed on the key -> SMJ without
+    Exchange (the repeated-join strategy for 100TB n-gram tables)."""
+    from kenlm_rs_spark.ops import bucketing as bk
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+        bk.write_bucketed(orders, "b_orders", "o_orderkey", 8)
+        bk.write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "b_lineitem", "o_orderkey", 8,
+        )
+        j = bk.bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        assert not bk.plan_has_shuffle(j), "bucketed join should not shuffle"
+        # control: the same join on raw parquet DOES shuffle
+        raw = orders.join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        )
+        assert bk.plan_has_shuffle(raw)
+        assert j.count() == raw.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
