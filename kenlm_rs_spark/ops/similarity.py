@@ -120,3 +120,38 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "cosine", "rank")
     )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from matching
+    random-hyperplane buckets (high-cosine pairs land in the same bucket with
+    probability (1 - theta/pi)^n_planes), verified by exact cosine >= threshold.
+    The scale path for embedding dedup — candidate count is bucket-local."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    sides = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn("sig", hyperplane_signature_col(F.col("vec"), dim, n_planes))
+    a, b = sides.alias("a"), sides.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .withColumn("cosine", cosine_similarity_col(F.col("a.vec"), F.col("b.vec")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            "cosine",
+        )
+    )
+    return pairs

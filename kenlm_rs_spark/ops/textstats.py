@@ -147,3 +147,14 @@ def ngram_counts(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
     return explode_ngrams(df, n, text_col).groupBy("ngram").agg(
         F.count("*").alias("count")
     )
+
+
+# BPE-ish subword segmentation: letter runs, digit runs, and single
+# punctuation marks each count as one token (the GPT-2-style pre-tokenizer
+# shape, minus byte merges — a deterministic proxy for tokenizer cost
+# accounting at corpus scale).
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
