@@ -92,7 +92,7 @@ shuffle in its hot path by design).
 - local[{CONFIGS[0]}]:  `{json.dumps(r8)}`
 - local[{CONFIGS[1]}]: `{json.dumps(r32)}`
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "scaling_last_run.md"), "w") as f:
         f.write(md)
     print(json.dumps({
         "docs": r8["docs"],
