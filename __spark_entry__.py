@@ -90,7 +90,9 @@ def q_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     udf = make_score_udf(bc, bos=True, eos=True)
     return docs.select("doc_id", udf(F.col("text")).alias("lm")).select(
         "doc_id",
-        F.round(F.col("lm.log10_prob"), 4).alias("log10_prob"),
+        # widen f32 -> f64 exactly BEFORE rounding so both engines round the
+        # identical double (the oracle parquet stores the widened double)
+        F.round(F.col("lm.log10_prob").cast("double"), 4).alias("log10_prob"),
         F.col("lm.tokens").alias("tokens"),
         F.col("lm.oov").alias("oov"),
         F.round(F.col("lm.ppl"), 4).alias("ppl"),
@@ -327,10 +329,11 @@ def q_events_sessionize(spark, sf_dir):
 
 
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs via LSH buckets + exact verify."""
+    """Embedding-cosine near-duplicate pairs via banded multi-table
+    hyperplane LSH (T=4 tables x b=8 planes) + exact-cosine verify."""
     emb = _emb(spark, sf_dir)
     return similarity.embedding_near_dup_pairs(
-        emb, threshold=0.25, n_planes=4, dim=64
+        emb, threshold=0.25, dim=64, n_tables=4, planes_per_table=8
     ).select("id_a", "id_b", F.round("cosine", 3).alias("cosine"))
 
 
@@ -400,14 +403,24 @@ def oracle_sql() -> dict[str, str]:
         f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)"
         for b in range(16)
     )
-    def _plane_sig(n_planes):
+    def _plane_sig(n_planes, plane_offset=0):
+        # projection quantized (round 9) before the sign test, matching
+        # similarity.hyperplane_signature_col
         return " + ".join(
-            f"(CASE WHEN list_dot_product(embedding, [sin(x + {j * 64}) for x in range(64)]) > 0 THEN {1 << j} ELSE 0 END)"
+            f"(CASE WHEN round(list_dot_product(embedding, [sin(x + {(plane_offset + j) * 64}) for x in range(64)]), 9) > 0 THEN {1 << j} ELSE 0 END)"
             for j in range(n_planes)
         )
 
     plane_sig = _plane_sig(6)
-    plane_sig4 = _plane_sig(4)
+    # banded multi-table signatures: table t uses planes [t*8, (t+1)*8)
+    table_sigs = ",\n                     ".join(
+        f"{_plane_sig(8, plane_offset=t * 8)} AS sig{t}" for t in range(4)
+    )
+    cand_union = "\n              UNION\n              ".join(
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM sigs a "
+        f"JOIN sigs b ON a.sig{t} = b.sig{t} AND a.vec_id < b.vec_id"
+        for t in range(4)
+    )
 
     return {
         "token_stats": f"""
@@ -570,19 +583,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, session_id, min(ts) AS session_start,
                    max(ts) AS session_end, count(*) AS n_events,
-                   round(sum(value), 6) AS total_value
+                   round(sum(CAST(value AS DECIMAL(38,9))), 6)::DOUBLE AS total_value
             FROM sess GROUP BY user_id, session_id
         """,
         "dedup_embedding": f"""
             WITH sigs AS (
-              SELECT vec_id, embedding, {plane_sig4} AS sig FROM embeddings
+              SELECT vec_id, embedding,
+                     {table_sigs}
+              FROM embeddings
+            ), cand AS (
+              {cand_union}
             )
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            SELECT c.id_a, c.id_b,
                    round(list_dot_product(a.embedding, b.embedding) /
                      (sqrt(list_dot_product(a.embedding, a.embedding)) *
                       sqrt(list_dot_product(b.embedding, b.embedding))), 3) AS cosine
-            FROM sigs a JOIN sigs b
-              ON a.sig = b.sig AND a.vec_id < b.vec_id
+            FROM cand c
+            JOIN embeddings a ON a.vec_id = c.id_a
+            JOIN embeddings b ON b.vec_id = c.id_b
             WHERE list_dot_product(a.embedding, b.embedding) /
                   (sqrt(list_dot_product(a.embedding, a.embedding)) *
                    sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.25

@@ -67,7 +67,10 @@ def main():
         t0 = time.time()
         try:
             df = qs[name](spark, SF_DIR)
-            df.count()
+            # noop write materializes EVERY column, so Python-UDF stages are
+            # not column-pruned away the way df.count() prunes them
+            # (CLAUDE.md gotcha; VERDICT r01 item 3)
+            df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
         except Exception as e:  # a broken query must not kill the bench line
             errors[name] = str(e)[:200]

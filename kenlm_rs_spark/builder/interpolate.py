@@ -147,6 +147,7 @@ def interpolate_models(
             pstar[n - 1][g] = float(p)
 
     # re-solve backoffs bottom-up
+    clamped: list[tuple] = []
     new = _PartialModel()
     for n in range(1, order + 1):
         for g, p in pstar[n - 1].items():
@@ -160,13 +161,24 @@ def interpolate_models(
             num = 1.0 - sum(pstar[n][g] for g in children)
             den = 1.0 - sum(new.p(g[1:]) for g in children)
             if num <= 0 or den <= 0:
+                # merged explicit mass under this context is >= 1: the model
+                # denormalizes here. Keep a tiny positive backoff so scoring
+                # stays finite, but surface the event instead of hiding it.
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "interpolate: context %s denormalized (num=%g den=%g); "
+                    "clamping backoff to 1e-12", c, num, den,
+                )
+                clamped.append(c)
                 bo = 1e-12
             else:
                 bo = num / den
             new.bo[c] = bo
 
-    # emit sections
+    # emit sections (clamped_contexts carried for caller inspection)
     sections = ArpaSections(counts=[len(u) for u in union])
+    sections.clamped_contexts = clamped
     sections.backoffs = []
     for n in range(1, order):
         recs = []

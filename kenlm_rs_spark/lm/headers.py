@@ -15,6 +15,7 @@ counts.rs}):
 
 from __future__ import annotations
 
+import os
 import struct
 from dataclasses import dataclass
 
@@ -113,10 +114,23 @@ def read_headers(path: str) -> BinaryHeaders:
         check_sanity(head)
         fixed = parse_fixed(head[SANITY_SIZE:])
         raw_counts = f.read(8 * fixed.order)
+        if len(raw_counts) < 8 * fixed.order:
+            raise BinaryFormatError("truncated counts header")
         counts = list(struct.unpack(f"<{fixed.order}Q", raw_counts))
-    # sorted, unique, non-empty validation (counts.rs:17-26)
+        file_size = os.fstat(f.fileno()).st_size
+    # non-empty / positive / plausible validation (counts.rs:17-26): a corrupt
+    # counts header would silently misalign every payload offset binary.py
+    # computes, so reject zero counts and counts the file cannot possibly hold
+    # (each stored n-gram costs >= 1 byte in any of the supported layouts)
     if not counts:
         raise BinaryFormatError("empty counts header")
+    if any(c <= 0 for c in counts):
+        raise BinaryFormatError(f"non-positive n-gram count in header: {counts}")
+    if sum(counts) > file_size * 8:
+        raise BinaryFormatError(
+            f"counts header implausible: {sum(counts)} n-grams in a "
+            f"{file_size}-byte file"
+        )
     return BinaryHeaders(fixed=fixed, counts=counts)
 
 

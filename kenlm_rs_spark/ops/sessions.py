@@ -52,7 +52,12 @@ def sessionize_batch(
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             F.count("*").alias("n_events"),
-            F.round(F.sum(value_col), 6).alias("total_value"),
+            # exact decimal addition makes the per-session sum independent of
+            # summation order (double sums can flip the 6th decimal between
+            # engines/partitionings); round + cast back to double afterwards
+            F.round(F.sum(F.col(value_col).cast("decimal(38,9)")), 6)
+            .cast("double")
+            .alias("total_value"),
         )
     )
 

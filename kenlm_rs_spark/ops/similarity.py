@@ -6,9 +6,18 @@
   F.aggregate/zip_with (whole-stage codegen), not Python.
 - LSH-bucketed ANN: random-hyperplane signatures computed with a
   deterministic, engine-portable pseudo-random matrix h[j][d] = sin(j*D + d)
-  (no RNG state to ship; identical in any engine with sin). Buckets equal
+  (no RNG state to ship). Projections are quantized (rounded to 1e-9) before
+  the sign test so a projection within an ulp of zero cannot flip a bucket
+  bit between engines whose libm differs in the last place; beyond that the
+  signatures are reproducible in any engine with sin. Buckets equal
   signatures; probing compares only bucket-mates — the scale path where the
   brute-force quadratic join is impossible.
+- banded multi-table near-dup (embedding_near_dup_pairs): T independent
+  tables of b planes each, same band structure as MinHash-LSH
+  (ops/dedup.py:83). Bucket population falls geometrically with b (2^b
+  buckets per table), so the within-bucket self-join stays bucket-local at
+  any corpus size, while T tables restore recall
+  (P[candidate] = 1 - (1 - (1-theta/pi)^b)^T).
 """
 
 from __future__ import annotations
@@ -66,9 +75,11 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature_col(vec, dim: int, n_planes: int = 8):
+def hyperplane_signature_col(vec, dim: int, n_planes: int = 8, plane_offset: int = 0):
     """Deterministic random-hyperplane LSH signature (int). Plane j has
-    components sin(j*dim + d) for d in [0, dim)."""
+    components sin((plane_offset + j)*dim + d) for d in [0, dim); the
+    projection is rounded to 9 decimals before the sign test (cross-engine
+    determinism — see module docstring)."""
     sig = F.lit(0)
     for j in range(n_planes):
         proj = F.aggregate(
@@ -76,14 +87,14 @@ def hyperplane_signature_col(vec, dim: int, n_planes: int = 8):
                 vec,
                 F.transform(
                     F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda d: F.sin(d + F.lit(j * dim)),
+                    lambda d: F.sin(d + F.lit((plane_offset + j) * dim)),
                 ),
                 lambda x, h: x * h,
             ),
             F.lit(0.0).cast("double"),
             lambda acc, v: acc + v,
         )
-        sig = sig + F.when(proj > 0, F.lit(1 << j)).otherwise(0)
+        sig = sig + F.when(F.round(proj, 9) > 0, F.lit(1 << j)).otherwise(0)
     return sig
 
 
@@ -127,31 +138,67 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 6,
     dim: int | None = None,
+    n_tables: int = 4,
+    planes_per_table: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: candidates from matching
-    random-hyperplane buckets (high-cosine pairs land in the same bucket with
-    probability (1 - theta/pi)^n_planes), verified by exact cosine >= threshold.
-    The scale path for embedding dedup — candidate count is bucket-local."""
+    """Embedding-cosine near-duplicate pairs via banded multi-table
+    hyperplane LSH: T independent tables of b planes each (exactly the
+    band structure of the MinHash path, ops/dedup.py:83); candidates are the
+    union over tables of same-bucket pairs, deduped, then verified by exact
+    cosine >= threshold.
+
+    Scale shape (the 100 TB question): a SINGLE signature table of few planes
+    gives only 2^planes buckets and an O(N^2 / 2^planes) all-pairs join — a
+    constant-factor discount, not a scale path. Here each table has 2^b
+    buckets (b=8..16+), so expected bucket population is N/2^b and the
+    self-join cost is sum over buckets of |bucket|^2 — linear in N for fixed
+    density — while recall for cosine >= c is
+    1 - (1 - (1-theta(c)/pi)^b)^T, tunable by T without touching bucket size.
+    The bucket join shuffles on (table, sig): uniform keys, no hot bucket.
+
+    Callers in the hot path should always pass ``dim``; the ``dim is None``
+    fallback does one driver-side ``first()`` as a convenience only."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    sides = df.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
-    ).withColumn("sig", hyperplane_signature_col(F.col("vec"), dim, n_planes))
-    a, b = sides.alias("a"), sides.alias("b")
-    pairs = (
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    # one struct per table -> explode: each vector emits T (table, sig) rows
+    sigs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_signature_col(
+                    F.col("vec"), dim, planes_per_table,
+                    plane_offset=t * planes_per_table,
+                ).alias("sig"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    exploded = base.withColumn("ts", F.explode(sigs)).select(
+        "vid", "vec", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.sig") == F.col("b.sig"))
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.vid") < F.col("b.vid")),
         )
-        .withColumn("cosine", cosine_similarity_col(F.col("a.vec"), F.col("b.vec")))
-        .filter(F.col("cosine") >= threshold)
+        # a pair colliding in several tables must verify once, not T times
         .select(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
-            "cosine",
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.vec").alias("vec_b"),
         )
+        .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs
+    return (
+        cand.withColumn(
+            "cosine", cosine_similarity_col(F.col("vec_a"), F.col("vec_b"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

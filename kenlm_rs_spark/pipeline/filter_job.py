@@ -103,21 +103,36 @@ def run_filter_job(
             sample = pages.sample(sample_for_thresholds, seed=42)
         sample = with_extracted_text(sample)
         sample = _attach_langid(sample, bc_langid)
+        # thresholds must be computed over the SAME text the chunk loop
+        # scores (text_scrubbed) — scrub placeholders are OOV, so an
+        # unscrubbed threshold distribution would bias the buckets
+        sample = sample.withColumn("text_scrubbed", scrub_text(F.col("text")))
         score_udf = make_multi_lm_score_udf(bc_models)
         sample = sample.withColumn(
-            "ppl", score_udf(F.col("text"), F.col("lang_pred")).getField("ppl")
+            "ppl", score_udf(F.col("text_scrubbed"), F.col("lang_pred")).getField("ppl")
         )
         thresholds = ppl_thresholds(sample, lang_col="lang_pred", ppl_col="ppl")
-        json.dump(thresholds, open(thr_path, "w"), indent=1, sort_keys=True)
+        _write_json_atomic(thr_path, thresholds)
 
     totals = {"docs": 0, "kept": 0, "scrub_docs_changed": 0, "by_reason": {}}
     t_start = time.time()
     for k in range(n_chunks):
         marker = os.path.join(output_dir, f"_chunk_{k}.json")
+        path = os.path.join(output_dir, f"chunk={k}")
         if os.path.exists(marker):
+            # markers are written atomically (tmp + rename) AFTER the chunk
+            # parquet commit, but verify anyway: a marker whose doc count
+            # does not match the parquet row count means a corrupt resume
+            # state — recompute the chunk rather than trust it
             m = json.load(open(marker))
-            _merge(totals, m)
-            continue
+            try:
+                n_written = spark.read.parquet(path).count()
+            except Exception:
+                n_written = -1
+            if n_written == m.get("docs"):
+                _merge(totals, m)
+                continue
+            os.remove(marker)
         chunk = pages.filter(F.pmod(F.xxhash64("url"), F.lit(n_chunks)) == k)
         chunk = with_extracted_text(chunk)
         chunk = chunk.repartition(partitions, F.xxhash64("url"))
@@ -133,7 +148,6 @@ def run_filter_job(
         chunk = with_buckets(chunk, thresholds, lang_col="lang_pred", ppl_col="ppl")
         chunk = decide(chunk)
         out = chunk.select(*[c for c in OUTPUT_COLUMNS if c in chunk.columns])
-        path = os.path.join(output_dir, f"chunk={k}")
         out.write.mode("overwrite").parquet(path)
 
         # metrics from the written chunk (exact, cheap — it's already on disk)
@@ -162,12 +176,21 @@ def run_filter_job(
             },
             "wall_sec": round(time.time() - t_start, 2),
         }
-        json.dump(m, open(marker, "w"), indent=1)
+        _write_json_atomic(marker, m)
         _merge(totals, m)
 
     totals["wall_sec"] = round(time.time() - t_start, 2)
-    json.dump(totals, open(os.path.join(output_dir, "_metrics.json"), "w"), indent=1)
+    _write_json_atomic(os.path.join(output_dir, "_metrics.json"), totals)
     return totals
+
+
+def _write_json_atomic(path: str, obj) -> None:
+    """tmp + os.replace so a crash mid-write can never leave a truncated
+    marker/threshold file that would break or falsify resume."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
 
 
 def _merge(totals: dict, m: dict) -> None:

@@ -15,7 +15,9 @@ from ..ops import textstats as ts
 
 # frozen rule thresholds (versioned — changing any of these changes keep/drop
 # labels, so bump RULES_VERSION)
-RULES_VERSION = 1
+# v2: exact-percentile tertile thresholds (was percentile_approx) + thresholds
+#     computed over text_scrubbed (was unscrubbed text) — ADVICE r01
+RULES_VERSION = 2
 MIN_TOKENS = 8
 MAX_SYMBOL_RATIO = 0.12
 MAX_DIGIT_RATIO = 0.30
@@ -62,19 +64,28 @@ def decide(
 def ppl_thresholds(
     df: DataFrame, lang_col: str = "lang_pred", ppl_col: str = "ppl",
     probs=(1.0 / 3.0, 2.0 / 3.0), rel_err: float = 0.01,
+    exact: bool = True,
 ) -> dict[str, tuple[float, float]]:
     """Per-language head/tail thresholds = empirical tertiles of document
-    perplexity (SURVEY.md §7 step 12). ONE pass: groupBy(lang) +
-    percentile_approx aggregate (partial aggregation map-side), instead of a
-    per-language approxQuantile loop that would rescan the upstream plan
-    once per language."""
+    perplexity (SURVEY.md §7 step 12). ONE pass: groupBy(lang) + percentile
+    aggregate (partial aggregation map-side), instead of a per-language
+    approxQuantile loop that would rescan the upstream plan once per language.
+
+    ``exact=True`` (default) uses the exact linear-interpolation percentile —
+    deterministic and engine-portable (DuckDB ``quantile_cont`` computes the
+    same definition), so thresholds and downstream keep/drop labels are
+    oracle-checkable. At 10^12-doc scale pass ``exact=False`` (t-digest
+    percentile_approx, bounded memory per group) and/or compute thresholds on
+    a sample, as run_filter_job does."""
     accuracy = max(int(1.0 / rel_err), 100)
+    if exact:
+        agg = F.percentile(ppl_col, F.lit(list(probs))).alias("qs")
+    else:
+        agg = F.percentile_approx(ppl_col, list(probs), accuracy).alias("qs")
     rows = (
         df.filter(F.col(lang_col).isNotNull())
         .groupBy(lang_col)
-        .agg(
-            F.percentile_approx(ppl_col, list(probs), accuracy).alias("qs")
-        )
+        .agg(agg)
         .collect()
     )
     return {
