@@ -21,6 +21,14 @@ from kenlm_rs_spark.pipeline.scrub import scrub_sql_expr, scrub_text
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
+# Frozen oracle inputs for the Python-model queries (tools/freeze_oracle.py):
+# per-doc LM scores computed by the SEQUENTIAL state-machine scorer and
+# langid computed by the NumPy classifier outside Spark — the driver gate at
+# sf0.01 then cross-checks the vectorized pandas-UDF path against them.
+ORACLE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "oracle", "sf0.01"
+)
+
 # DuckDB-side token split identical to ts.TOKEN_SPLIT
 _TOKS = "list_filter(string_split_regex(text, '[\\x00\\t\\n\\r ]+'), y -> y != '')"
 _GRAMS3 = "[array_to_string(toks[i+1:i+3], ' ') for i in range(len(toks)-2)]"
@@ -394,6 +402,13 @@ def _with_toks(inner: str = "documents") -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from kenlm_rs_spark.pipeline.quality import (
+        MAX_DIGIT_RATIO,
+        MAX_DUP3_FRAC,
+        MAX_SYMBOL_RATIO,
+        MIN_TOKENS,
+    )
+
     toks = _with_toks()
     stop_list = "['" + "','".join(ts.STOPWORDS) + "']"
     mh_cols = ", ".join(
@@ -423,6 +438,67 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        # ---- Python-model queries: frozen cross-implementation oracles.
+        # The parquet under ORACLE_DIR holds per-doc scores from the
+        # SEQUENTIAL state-machine scorer / standalone NumPy langid
+        # (tools/freeze_oracle.py); valid at the driver's gate sf (0.01).
+        "perplexity_docs": f"""
+            SELECT doc_id, round(log10_prob, 4) AS log10_prob, tokens, oov,
+                   round(ppl, 4) AS ppl
+            FROM read_parquet('{ORACLE_DIR}/lm_raw.parquet')
+        """,
+        "langid_docs": f"""
+            SELECT doc_id, lang_pred
+            FROM read_parquet('{ORACLE_DIR}/langid.parquet')
+        """,
+        # filter_pipeline: everything EXCEPT the LM walk is recomputed
+        # cross-engine in DuckDB (scrub chain, quality features, exact
+        # tertile thresholds via quantile_cont, bucket + decision chain);
+        # only the per-doc ppl over scrubbed text comes from the frozen
+        # sequential-scorer parquet.
+        "filter_pipeline": f"""
+            WITH lm AS (
+              SELECT doc_id, tokens, oov, ppl
+              FROM read_parquet('{ORACLE_DIR}/lm_scrubbed.parquet')
+            ), scr AS (
+              SELECT doc_id, lang AS lang_pred,
+                     {scrub_sql_expr("text")} AS text
+              FROM documents
+            ), tk AS (
+              SELECT *, {_TOKS} AS toks FROM scr
+            ), feats AS (
+              SELECT doc_id, lang_pred,
+                len(toks) AS n_tokens,
+                length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / greatest(length(text), 1) AS symbol_ratio,
+                (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / greatest(length(text), 1) AS digit_ratio,
+                CASE WHEN len(toks) <= 2 THEN 0.0
+                     ELSE 1.0 - len(list_distinct({_GRAMS3})) / len({_GRAMS3}) END AS dup3_frac
+              FROM tk
+            ), j AS (
+              SELECT f.*, lm.tokens, lm.oov, lm.ppl FROM feats f JOIN lm USING (doc_id)
+            ), thr AS (
+              SELECT lang_pred,
+                     quantile_cont(ppl, 1.0/3.0) AS t_head,
+                     quantile_cont(ppl, 2.0/3.0) AS t_tail
+              FROM j GROUP BY lang_pred
+            ), b AS (
+              SELECT j.*, CASE WHEN t.t_head IS NULL THEN 'middle'
+                               WHEN j.ppl <= t.t_head THEN 'head'
+                               WHEN j.ppl >= t.t_tail THEN 'tail'
+                               ELSE 'middle' END AS bucket
+              FROM j LEFT JOIN thr t USING (lang_pred)
+            ), d AS (
+              SELECT *, CASE WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+                             WHEN symbol_ratio > {MAX_SYMBOL_RATIO} THEN 'symbol_ratio'
+                             WHEN digit_ratio > {MAX_DIGIT_RATIO} THEN 'digit_ratio'
+                             WHEN dup3_frac > {MAX_DUP3_FRAC} THEN 'repetition'
+                             WHEN bucket = 'tail' THEN 'ppl_tail' END AS drop_reason
+              FROM b
+            )
+            SELECT doc_id, lang_pred, tokens, oov, round(ppl, 4) AS ppl,
+                   bucket, drop_reason IS NULL AS keep, drop_reason
+            FROM d
+        """,
         "token_stats": f"""
             SELECT doc_id, len(toks) AS n_tokens,
                    len(list_distinct(toks)) AS n_types,
@@ -639,7 +715,4 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, match_id, round(cos, 5) AS cosine, rank
             FROM ranked WHERE rank <= 5
         """,
-        # perplexity_docs / langid_docs / filter_pipeline are Python-model
-        # queries (broadcast NumPy LM / classifier) — not SQL-expressible;
-        # the driver records the weaker rows-only check for them.
     }
