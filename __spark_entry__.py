@@ -266,6 +266,88 @@ def q_vocab_filter(spark, sf_dir):
     ).select("ngram", F.col("count").alias("cnt"))
 
 
+# fixed phrase-filter input (filter tool format: tab-delimited phrases);
+# shared source of truth for the Spark DP kernel AND the generated oracle SQL
+PHRASE_LINE = "part filter scan\ttable hash\tslow hash batch\tmerge group"
+
+
+def _top_words(docs, k: int) -> list[str]:
+    uni = ts.ngram_counts(docs, 1)
+    return [
+        r["ngram"]
+        for r in uni.orderBy(F.desc("count"), F.asc("ngram")).limit(k).collect()
+    ]
+
+
+def q_context_filter(spark, sf_dir):
+    """F2 context filter (filter_main.cc:33-34): keep trigrams whose CONTEXT
+    (first two words) is inside the top-20 vocabulary; the predicted word is
+    unrestricted."""
+    from kenlm_rs_spark.builder.filter import context_filter
+
+    docs = _docs(spark, sf_dir)
+    top = _top_words(docs, 20)
+    tri = ts.ngram_counts(docs, 3).select(
+        F.split("ngram", " ").alias("ngram"), F.col("count").alias("cnt")
+    )
+    return context_filter(tri, top).select(
+        F.array_join("ngram", " ").alias("ngram"), "cnt"
+    )
+
+
+def q_multiout_filter(spark, sf_dir):
+    """F3 multiple-output filter (filter_main.cc:28-30): two per-sentence
+    vocabularies (ranks 1-10 and 11-30 of the unigram table) fanned out as a
+    sentence_id column."""
+    from kenlm_rs_spark.builder.filter import multiple_output_filter
+
+    docs = _docs(spark, sf_dir)
+    top = _top_words(docs, 30)
+    vocabs = {"s_a": top[:10], "s_b": top[10:30]}
+    tri = ts.ngram_counts(docs, 3).select(
+        F.split("ngram", " ").alias("ngram"), F.col("count").alias("cnt")
+    )
+    return multiple_output_filter(tri, vocabs).select(
+        "sentence_id", F.array_join("ngram", " ").alias("ngram"), "cnt"
+    )
+
+
+def q_phrase_filter(spark, sf_dir):
+    """F5 phrase filter (phrase.hh Substrings semantics): keep trigrams
+    assemblable from PHRASE_LINE as [phrase suffix][whole phrases]*[prefix]."""
+    from kenlm_rs_spark.builder.phrase_filter import phrase_filter
+
+    docs = _docs(spark, sf_dir)
+    tri = ts.ngram_counts(docs, 3).select(
+        F.split("ngram", " ").alias("ngram"), F.col("count").alias("cnt")
+    )
+    return phrase_filter(tri, PHRASE_LINE).select(
+        F.array_join("ngram", " ").alias("ngram"), "cnt"
+    )
+
+
+def q_lsh_jaccard(spark, sf_dir):
+    """Composed 100 TB dedup: MinHash-LSH blocking -> exact Jaccard verify
+    restricted to candidates."""
+    from kenlm_rs_spark.ops.dedup import lsh_jaccard_dedup
+
+    return lsh_jaccard_dedup(
+        _docs(spark, sf_dir), shingle_n=3, num_hashes=8, bands=4, threshold=0.12
+    ).select("id_a", "id_b", "common", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_image_metadata(spark, sf_dir):
+    """Multimodal metadata path: opaque binary payload (utf-8 bytes of text —
+    the documents table ships no real images) -> typed metadata via
+    mapInPandas; sha256/width/height are deterministic and oracle-checkable."""
+    from kenlm_rs_spark.ops.multimodal import image_metadata
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return image_metadata(docs)
+
+
 def q_union_filter(spark, sf_dir):
     """U2/F4 union filter: bigrams starting with 'data' union bigrams ending
     with 'table', distinct."""
@@ -383,6 +465,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "continuation_counts": q_continuation_counts,
         "count_of_counts": q_count_of_counts,
         "vocab_filter": q_vocab_filter,
+        "context_filter": q_context_filter,
+        "multiout_filter": q_multiout_filter,
+        "phrase_filter": q_phrase_filter,
+        "lsh_jaccard": q_lsh_jaccard,
+        "image_metadata": q_image_metadata,
         "union_filter": q_union_filter,
         "suffix_sort_topk": q_suffix_sort_topk,
         "j1_suffix_join": q_j1_suffix_join,
@@ -409,10 +496,28 @@ def oracle_sql() -> dict[str, str]:
         MIN_TOKENS,
     )
 
+    from kenlm_rs_spark.builder.phrase_filter import PhraseSets
+
     toks = _with_toks()
     stop_list = "['" + "','".join(ts.STOPWORDS) + "']"
+
+    # phrase-filter piece sets rendered as SQL IN-lists (same PhraseSets
+    # source the Spark DP kernel uses)
+    psets = PhraseSets.parse_line(PHRASE_LINE)
+
+    def _in_list(tuples):
+        items = sorted(" ".join(t) for t in tuples)
+        return "(" + ", ".join("'" + s.replace("'", "''") + "'" for s in items) + ")"
+
+    p_sub = _in_list(psets.substring)
+    p_left = _in_list(psets.left)
+    p_right = _in_list(psets.right)
+    p_whole = _in_list(psets.whole)
     mh_cols = ", ".join(
         f"min(md5(concat('{i}:', sh))) AS mh{i}" for i in range(8)
+    )
+    mh_cols_shingle = ", ".join(
+        f"min(md5(concat('{i}:', shingle))) AS mh{i}" for i in range(8)
     )
     simhash_bits = " + ".join(
         f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)"
@@ -600,6 +705,103 @@ def oracle_sql() -> dict[str, str]:
                 SELECT ngram, unnest(string_split(ngram, ' ')) AS w FROM tri
               ) WHERE w NOT IN (SELECT w FROM top)
             )
+        """,
+        "context_filter": f"""
+            WITH uni AS (
+              SELECT w, count(*) AS c
+              FROM (SELECT unnest(toks) AS w FROM {toks}) GROUP BY w
+            ), top AS (
+              SELECT w FROM uni ORDER BY c DESC, w LIMIT 20
+            ), tri AS (
+              SELECT g AS ngram, count(*) AS cnt
+              FROM (SELECT unnest({_GRAMS3}) AS g FROM {toks}) GROUP BY g
+            )
+            SELECT ngram, cnt FROM tri
+            WHERE string_split(ngram, ' ')[1] IN (SELECT w FROM top)
+              AND string_split(ngram, ' ')[2] IN (SELECT w FROM top)
+        """,
+        "multiout_filter": f"""
+            WITH uni AS (
+              SELECT w, count(*) AS c
+              FROM (SELECT unnest(toks) AS w FROM {toks}) GROUP BY w
+            ), ranked AS (
+              SELECT w, row_number() OVER (ORDER BY c DESC, w) AS r FROM uni
+            ), tri AS (
+              SELECT g AS ngram, count(*) AS cnt
+              FROM (SELECT unnest({_GRAMS3}) AS g FROM {toks}) GROUP BY g
+            ), tw AS (
+              SELECT ngram, unnest(string_split(ngram, ' ')) AS w FROM tri
+            ), bad_a AS (
+              SELECT DISTINCT ngram FROM tw
+              WHERE w NOT IN (SELECT w FROM ranked WHERE r <= 10)
+            ), bad_b AS (
+              SELECT DISTINCT ngram FROM tw
+              WHERE w NOT IN (SELECT w FROM ranked WHERE r > 10 AND r <= 30)
+            )
+            SELECT 's_a' AS sentence_id, ngram, cnt FROM tri
+            WHERE ngram NOT IN (SELECT ngram FROM bad_a)
+            UNION ALL
+            SELECT 's_b' AS sentence_id, ngram, cnt FROM tri
+            WHERE ngram NOT IN (SELECT ngram FROM bad_b)
+        """,
+        "phrase_filter": f"""
+            WITH tri AS (
+              SELECT g AS ngram, count(*) AS cnt
+              FROM (SELECT unnest({_GRAMS3}) AS g FROM {toks}) GROUP BY g
+            ), p AS (
+              SELECT ngram, cnt, string_split(ngram, ' ') AS w FROM tri
+            )
+            -- trigram assembly enumeration of phrase.hh for n=3:
+            -- substring | [right][left] (2 splits) | [right][whole][left]
+            SELECT ngram, cnt FROM p
+            WHERE ngram IN {p_sub}
+               OR (w[1] IN {p_right} AND w[2] || ' ' || w[3] IN {p_left})
+               OR (w[1] || ' ' || w[2] IN {p_right} AND w[3] IN {p_left})
+               OR (w[1] IN {p_right} AND w[2] IN {p_whole} AND w[3] IN {p_left})
+        """,
+        "lsh_jaccard": f"""
+            WITH sets AS (
+              SELECT doc_id, list_distinct({_GRAMS3}) AS s FROM {toks}
+            ), sh AS (
+              SELECT doc_id, len(s) AS set_size, unnest(s) AS shingle FROM sets
+            ), mh AS (
+              SELECT doc_id, {mh_cols_shingle} FROM sh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS sig FROM mh
+              UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM mh
+              UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM mh
+              UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM mh
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            ), common AS (
+              SELECT c.id_a, c.id_b,
+                     sa.set_size AS size_a, sb.set_size AS size_b,
+                     count(*) AS common
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b, common,
+                   round(common / (size_a + size_b - common), 6) AS jaccard
+            FROM common
+            WHERE common / (size_a + size_b - common) >= 0.12
+        """,
+        "image_metadata": """
+            SELECT doc_id,
+              CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                   ELSE 64 + (('0x' || substr(sha256(text), 1, 2))::INT % 192)
+              END AS width,
+              CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                   ELSE 64 + (('0x' || substr(sha256(text), 3, 2))::INT % 192)
+              END AS height,
+              CASE WHEN octet_length(encode(text)) = 0 THEN 0 ELSE 3 END AS channels,
+              CASE WHEN octet_length(encode(text)) = 0 THEN 'undecodable'
+                   ELSE 'fake/deterministic' END AS format,
+              sha256(text) AS sha256
+            FROM documents
         """,
         "union_filter": f"""
             WITH bi AS (

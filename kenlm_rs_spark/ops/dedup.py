@@ -119,6 +119,52 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def lsh_jaccard_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The composed 100 TB dedup shape: MinHash-LSH blocking -> exact Jaccard
+    verify restricted to candidates (VERDICT r01 item 9).
+
+    The verify join fans out over CANDIDATE PAIRS x shingles — bounded by the
+    LSH collision rate, not by shingle document frequency — so the quadratic
+    inverted-index self-join of ``ngram_jaccard_pairs`` never materializes.
+    Returns (id_a, id_b, common, jaccard) for pairs at or above ``threshold``
+    (pairs whose true Jaccard clears the threshold but that no band catches
+    are the LSH recall trade-off, tunable via bands/rows-per-band)."""
+    cand = minhash_lsh_pairs(df, id_col, text_col, shingle_n, num_hashes, bands)
+    sh = shingle_table(df, id_col, text_col, shingle_n)
+    a = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("set_size").alias("size_a"),
+        "shingle",
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("set_size").alias("size_b"),
+        "shingle",
+    )
+    common = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -55,3 +55,56 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     # emitted; user 1's first session closes when the gap > 30min appears
     closed = {(r["user_id"], r["n_events"], r["total_value"]) for r in rows}
     assert (1, 3, 3.0) in closed
+
+
+def test_sessionize_stream_equals_batch_on_fixture(spark, tmp_path):
+    """VERDICT r01 item 10: the availableNow streaming run must reproduce the
+    batch twin exactly for every CLOSED session (a session is closed within
+    the micro-batch when a later event of the same user exceeds the gap; each
+    user's final session stays open in state, so the batch result minus each
+    user's last session is the exact expected set)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    src = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(src):
+        pytest.skip("events fixture missing")
+    from kenlm_rs_spark.ops.sessions import sessionize_batch, sessionize_stream
+
+    ev = spark.read.parquet(src).select("user_id", "ts", "value")
+
+    batch = sessionize_batch(ev).collect()
+    # drop each user's last session (still open from the stream's view)
+    last_start = {}
+    for r in batch:
+        cur = last_start.get(r["user_id"])
+        if cur is None or r["session_start"] > cur:
+            last_start[r["user_id"]] = r["session_start"]
+    expected = sorted(
+        (r["user_id"], r["n_events"], round(r["total_value"], 6))
+        for r in batch
+        if r["session_start"] != last_start[r["user_id"]]
+    )
+
+    # the file-stream source needs a directory, the fixture is a single file
+    in_dir = str(tmp_path / "events_in")
+    ev.write.parquet(in_dir)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(in_dir)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_fixture_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r["user_id"], r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql("SELECT * FROM sessions_fixture_out").collect()
+        if r["closed"] == 1
+    )
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert g[0] == e[0] and g[1] == e[1], (g, e)
+        assert g[2] == pytest.approx(e[2], abs=2e-6), (g, e)
