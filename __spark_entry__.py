@@ -251,6 +251,28 @@ def q_count_of_counts(spark, sf_dir):
     )
 
 
+def q_pruned_counts(spark, sf_dir):
+    """A3 with pruning marks: order-2 adjusted counts (raw bigrams +
+    continuation unigrams + <s> sentence count) with the lmplz --prune flag
+    (prune bigrams whose raw count <= 1; unigram threshold 0)."""
+    from kenlm_rs_spark.builder.lmplz import (
+        adjusted_counts,
+        raw_window_counts,
+        with_prune_flags,
+    )
+
+    docs = _docs(spark, sf_dir).select("text")
+    raw = raw_window_counts(docs, "text", 2)
+    adj = adjusted_counts(raw, 2)
+    out = with_prune_flags(adj, raw, 2, [0, 1])
+    return out.select(
+        F.array_join("gram", " ").alias("ngram"),
+        "n",
+        F.col("count").alias("cnt"),
+        "pruned",
+    )
+
+
 def q_vocab_filter(spark, sf_dir):
     """F1 vocab filter: keep trigrams whose words are all in the top-20
     vocabulary (by count desc, word asc)."""
@@ -464,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": q_ngram_counts,
         "continuation_counts": q_continuation_counts,
         "count_of_counts": q_count_of_counts,
+        "pruned_counts": q_pruned_counts,
         "vocab_filter": q_vocab_filter,
         "context_filter": q_context_filter,
         "multiout_filter": q_multiout_filter,
@@ -688,6 +711,29 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT unnest(toks) AS w FROM {toks}) GROUP BY w
             )
             SELECT c AS freq, count(*) AS n_words FROM uni GROUP BY c
+        """,
+        "pruned_counts": f"""
+            WITH t AS (
+              SELECT {_TOKS} AS toks FROM documents
+            ), pad AS (
+              SELECT list_concat(list_concat(['<s>'], toks), ['</s>']) AS p FROM t
+            ), big AS (
+              SELECT unnest([p[i+1] || ' ' || p[i+2] for i in range(len(p)-1)]) AS g
+              FROM pad
+            ), raw2 AS (
+              SELECT g, count(*) AS c FROM big GROUP BY g
+            ), uni AS (
+              -- continuation count = distinct left-extensions (bigram types)
+              SELECT string_split(g, ' ')[2] AS w, count(*) AS c
+              FROM raw2 GROUP BY 1
+              UNION ALL
+              -- <s> unigram carries the sentence count
+              SELECT '<s>', (SELECT CAST(sum(c) AS BIGINT) FROM raw2
+                             WHERE string_split(g, ' ')[1] = '<s>')
+            )
+            SELECT g AS ngram, 2 AS n, c AS cnt, c <= 1 AS pruned FROM raw2
+            UNION ALL
+            SELECT w, 1, c, false FROM uni
         """,
         "vocab_filter": f"""
             WITH uni AS (

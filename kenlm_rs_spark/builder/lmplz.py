@@ -83,6 +83,61 @@ def raw_window_counts(df: DataFrame, text_col: str, order: int) -> DataFrame:
     )
 
 
+def _actual_counts(raw: DataFrame, n: int) -> DataFrame:
+    """Raw occurrence count of each order-n gram, reconstructed as the sum of
+    window counts whose length-n SUFFIX equals the gram — exactly the
+    ``actual_counts`` accumulation of the reference's AdjustCounts
+    (adjust_counts.cc:286-292 STEP 2: every full-stream entry adds its
+    unmarked count to all its suffixes). Each corpus position lives in
+    exactly one window row of ``raw``, so no double counting."""
+    return (
+        raw.filter(F.size("gram") >= n)
+        .withColumn("sfx", F.slice(F.col("gram"), F.size("gram") - n + 1, n))
+        .groupBy(F.col("sfx").alias("gram"))
+        .agg(F.sum("count").alias("actual"))
+    )
+
+
+def with_prune_flags(
+    adjusted: DataFrame,
+    raw: DataFrame,
+    order: int,
+    prune_thresholds: list[int] | None,
+) -> DataFrame:
+    """Attach the reference's prune mark (adjust_counts.cc:219-233,265-283):
+    an order-n gram is pruned iff its RAW occurrence count (not the adjusted
+    continuation count) is <= prune_thresholds[n-1]; the unigrams
+    <s>/</s>/<unk> are never pruned (``if(*full->begin() > 2)`` guard and the
+    ``actual_counts[0] = max`` hack). Thresholds must be non-decreasing with
+    order so the surviving set stays suffix/prefix-closed (lmplz enforces the
+    same)."""
+    if not prune_thresholds or all(t <= 0 for t in prune_thresholds):
+        return adjusted.withColumn("pruned", F.lit(False))
+    if len(prune_thresholds) != order:
+        raise ValueError(f"need {order} thresholds, got {prune_thresholds}")
+    if any(
+        prune_thresholds[i] > prune_thresholds[i + 1] for i in range(order - 1)
+    ):
+        raise ValueError(f"prune thresholds must be non-decreasing: {prune_thresholds}")
+    parts = []
+    for n in range(1, order + 1):
+        t = int(prune_thresholds[n - 1])
+        level = adjusted.filter(F.col("n") == n)
+        if t <= 0:
+            parts.append(level.withColumn("pruned", F.lit(False)))
+            continue
+        act = _actual_counts(raw, n)
+        level = level.join(act, "gram", "left")
+        pruned = F.coalesce(F.col("actual"), F.lit(0)) <= t
+        if n == 1:
+            pruned = pruned & ~F.element_at("gram", 1).isin(*RESERVED)
+        parts.append(level.withColumn("pruned", pruned).drop("actual"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def adjusted_counts(raw: DataFrame, order: int) -> DataFrame:
     """A3: order-N grams keep raw counts; each lower order n gets
     continuation counts |{v : (v . g) in adjusted_(n+1)}| — cascading from
@@ -160,7 +215,14 @@ def initial_probabilities(adjusted: DataFrame, discounts: dict, order: int):
     """A4: per-order uninterpolated probs + per-context gammas.
 
     Returns (probs_df: gram,n,u ; gammas_df: ctx,n_ctx,gamma) where gamma is
-    keyed by the CONTEXT gram (length n-1) it backs off from."""
+    keyed by the CONTEXT gram (length n-1) it backs off from.
+
+    Pruning semantics per initial_probabilities.cc:158-190 (AddRight): ALL
+    grams (pruned included) contribute to the context denominator; the n1/n2/
+    n3+ discount counters run over SURVIVING grams only (CutoffCount); the
+    pruned grams' mass is folded into gamma ("Makes model sum to 1 with
+    pruning"), so the conditional distribution stays normalized. Pruned grams
+    are dropped from the probs output (PruneNGramStream)."""
     sc_disc = [
         (n, float(discounts[n][1]), float(discounts[n][2]), float(discounts[n][3]))
         for n in range(1, order + 1)
@@ -168,17 +230,21 @@ def initial_probabilities(adjusted: DataFrame, discounts: dict, order: int):
     disc_df = adjusted.sparkSession.createDataFrame(
         sc_disc, "n int, d1 double, d2 double, d3 double"
     )
+    if "pruned" not in adjusted.columns:
+        adjusted = adjusted.withColumn("pruned", F.lit(False))
     # the <s> unigram never receives probability mass (p(<s>) = 0,
     # interpolate.hh:21-23) and is excluded from unigram normalization —
     # verified against real lmplz output: unigram mass excl. <s> is exactly 1
     a = adjusted.filter(~((F.col("n") == 1) & (F.element_at("gram", 1) == "<s>")))
     a = a.join(F.broadcast(disc_df), "n")
     a = a.withColumn("ctx", F.slice("gram", 1, F.col("n") - 1))
+    surv = ~F.col("pruned")
     grp = a.groupBy("n", "ctx").agg(
         F.sum("count").alias("denom"),
-        F.sum(F.when(F.col("count") == 1, 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("count") == 2, 1).otherwise(0)).alias("n2"),
-        F.sum(F.when(F.col("count") >= 3, 1).otherwise(0)).alias("n3p"),
+        F.sum(F.when(surv & (F.col("count") == 1), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(surv & (F.col("count") == 2), 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(surv & (F.col("count") >= 3), 1).otherwise(0)).alias("n3p"),
+        F.sum(F.when(F.col("pruned"), F.col("count")).otherwise(0)).alias("pruned_mass"),
         F.first("d1").alias("d1"),
         F.first("d2").alias("d2"),
         F.first("d3").alias("d3"),
@@ -187,12 +253,18 @@ def initial_probabilities(adjusted: DataFrame, discounts: dict, order: int):
         F.col("ctx").alias("gram"),
         (F.col("n") - 1).alias("n_ctx"),
         (
-            (F.col("d1") * F.col("n1") + F.col("d2") * F.col("n2") + F.col("d3") * F.col("n3p"))
+            (
+                F.col("d1") * F.col("n1")
+                + F.col("d2") * F.col("n2")
+                + F.col("d3") * F.col("n3p")
+                + F.col("pruned_mass")
+            )
             / F.col("denom")
         ).alias("gamma"),
     )
     probs = (
-        a.join(grp.select("n", "ctx", "denom"), ["n", "ctx"])
+        a.filter(surv)
+        .join(grp.select("n", "ctx", "denom"), ["n", "ctx"])
         .withColumn(
             "D",
             F.when(F.col("count") >= 3, F.col("d3"))
@@ -208,23 +280,42 @@ def initial_probabilities(adjusted: DataFrame, discounts: dict, order: int):
     return probs, gammas
 
 
-def estimate_df(df: DataFrame, text_col: str = "text", order: int = 3) -> DataFrame:
+def estimate_df(
+    df: DataFrame,
+    text_col: str = "text",
+    order: int = 3,
+    prune_thresholds: list[int] | None = None,
+) -> DataFrame:
     """Full estimation as a distributed plan: returns a DataFrame
     (n int, gram array<string>, p double, gamma double) — interpolated
     probability and backoff weight (gamma; null when the gram is never a
     context). Nothing corpus- or model-sized is collected: A5 is a chain of
     per-order suffix joins (the reference's suffix-sorted merge, J1), so this
     scales to models that do not fit on the driver; sinks may write it as a
-    parquet model table or collect it when broadcast-sized."""
+    parquet model table or collect it when broadcast-sized.
+
+    ``prune_thresholds`` = lmplz ``--prune`` (one non-decreasing threshold per
+    order; grams with raw count <= threshold are dropped, their mass folded
+    into the context gamma — pipeline.cc:339-377 config wiring,
+    adjust_counts.cc pruning marks). Pruning is THE mechanism that keeps a
+    web-scale model model-sized: at 100 TB an unpruned order-3+ table is
+    corpus-sized, a pruned one is vocabulary-shaped."""
     raw = raw_window_counts(df, text_col, order)
-    adj = adjusted_counts(raw, order).cache()
+    if prune_thresholds and any(t > 0 for t in prune_thresholds):
+        raw = raw.cache()
+    adj = adjusted_counts(raw, order)
+    adj = with_prune_flags(adj, raw, order, prune_thresholds).cache()
     discounts = discount_stats(adj, order)
     probs, gammas = initial_probabilities(adj, discounts, order)
     probs = probs.cache()
     gammas = gammas.cache()
 
-    # scalars: uniform base 1/(vocab-1) (interpolate.hh:21-23) and gamma(eps)
-    vocab_rows = probs.filter(F.col("n") == 1).count()  # excludes <s>
+    # scalars: uniform base 1/(vocab-1) (interpolate.hh:21-23) and gamma(eps).
+    # Vocabulary size counts ALL types (pre-prune adjusted unigrams excl <s>),
+    # matching the reference's corpus-count vocab size.
+    vocab_rows = adj.filter(
+        (F.col("n") == 1) & (F.element_at("gram", 1) != "<s>")
+    ).count()
     uniform = 1.0 / max(vocab_rows + 1, 1)  # + <unk>
     g_eps_row = gammas.filter(F.col("n_ctx") == 0).collect()
     g_eps = float(g_eps_row[0]["gamma"]) if g_eps_row else 0.0
@@ -280,10 +371,15 @@ def estimate_df(df: DataFrame, text_col: str = "text", order: int = 3) -> DataFr
 
 
 def estimate_arpa_sections(
-    df: DataFrame, text_col: str = "text", order: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    order: int = 3,
+    prune_thresholds: list[int] | None = None,
 ) -> ArpaSections:
-    """Estimation -> ARPA sections (collects the final model-sized table)."""
-    rows = estimate_df(df, text_col, order).collect()
+    """Estimation -> ARPA sections (collects the final model-sized table;
+    with pruning the collected table is vocabulary-shaped even at corpus
+    scale — see estimate_df)."""
+    rows = estimate_df(df, text_col, order, prune_thresholds).collect()
     by_order: dict[int, list] = {}
     for r in rows:
         by_order.setdefault(r["n"], []).append(
@@ -318,9 +414,14 @@ def estimate_arpa_sections(
     return sections
 
 
-def estimate_arpa(df: DataFrame, text_col: str = "text", order: int = 3) -> str:
+def estimate_arpa(
+    df: DataFrame,
+    text_col: str = "text",
+    order: int = 3,
+    prune_thresholds: list[int] | None = None,
+) -> str:
     """Estimate and render the ARPA text."""
-    sections = estimate_arpa_sections(df, text_col, order)
+    sections = estimate_arpa_sections(df, text_col, order, prune_thresholds)
     buf = io.StringIO()
     write_arpa(sections, buf)
     return buf.getvalue()

@@ -1,0 +1,132 @@
+"""lmplz --prune semantics (VERDICT r01 item 2).
+
+Reference laws verified here (cited in kenlm_rs_spark/builder/lmplz.py):
+- prune decision on RAW counts, thresholds non-decreasing, <s>/</s>/<unk>
+  unigrams protected (adjust_counts.cc:219-233, 265-283);
+- discount statistics computed over ALL adjusted counts, pruned included
+  (StatCollector.Add runs before the survivors are compacted);
+- pruned mass folds into the context gamma so every conditional distribution
+  still sums to exactly 1 (initial_probabilities.cc:163-190 "Makes model sum
+  to 1 with pruning");
+- byte-frozen regression fixture (fixtures/lms/pruned_sf0001_011.arpa).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures", "lms", "pruned_sf0001_011.arpa",
+)
+PRUNE = [0, 1, 1]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    p = os.path.join(SF, "documents.parquet")
+    if not os.path.exists(p):
+        pytest.skip("documents fixture missing")
+    return spark.read.parquet(p).select("text")
+
+
+@pytest.fixture(scope="module")
+def pruned_model_df(spark, docs):
+    from kenlm_rs_spark.builder.lmplz import estimate_df
+
+    return estimate_df(docs, order=3, prune_thresholds=PRUNE).collect()
+
+
+def test_surviving_set_is_raw_count_thresholded(spark, docs, pruned_model_df):
+    from kenlm_rs_spark.builder.lmplz import _actual_counts, raw_window_counts
+
+    raw = raw_window_counts(docs, "text", 3)
+    surviving = {
+        (r["n"], tuple(r["gram"])) for r in pruned_model_df
+    }
+    for n in (2, 3):
+        actual = {
+            tuple(r["gram"]): r["actual"]
+            for r in _actual_counts(raw, n).collect()
+        }
+        got = {g for (nn, g) in surviving if nn == n}
+        # every surviving gram clears the threshold...
+        for g in got:
+            assert actual.get(g, 0) > PRUNE[n - 1], (g, actual.get(g))
+        # ...and every adjusted gram clearing it survives (suffix-closure
+        # holds because thresholds are non-decreasing)
+        from kenlm_rs_spark.builder.lmplz import adjusted_counts
+
+        adj = {
+            tuple(r["gram"])
+            for r in adjusted_counts(raw, 3).filter(F.col("n") == n).collect()
+        }
+        expected = {g for g in adj if actual.get(g, 0) > PRUNE[n - 1]}
+        assert got == expected
+
+
+def test_pruned_conditionals_sum_to_one(pruned_model_df):
+    """For every surviving context c: sum_w p(w|c) + gamma(c) * (1 -
+    sum_w p_lower(w|suffix(c))) == 1 over the surviving children w — the
+    pruned-mass-in-gamma law."""
+    p = {tuple(r["gram"]): r["p"] for r in pruned_model_df}
+    gamma = {
+        tuple(r["gram"]): r["gamma"]
+        for r in pruned_model_df
+        if r["gamma"] is not None
+    }
+    by_ctx: dict[tuple, list[tuple]] = {}
+    for r in pruned_model_df:
+        g = tuple(r["gram"])
+        if len(g) >= 2:
+            by_ctx.setdefault(g[:-1], []).append(g)
+    checked = 0
+    for c, children in by_ctx.items():
+        if c not in gamma:
+            continue
+        if c[0] == "<s>" and len(c) == 1:
+            continue  # p(<s>) = 0 sentinel distorts the unigram-level sum
+        mass = sum(p[g] for g in children)
+        lower = sum(p[g[1:]] for g in children)
+        total = mass + gamma[c] * (1.0 - lower)
+        assert total == pytest.approx(1.0, abs=1e-9), (c, total)
+        checked += 1
+    assert checked > 50
+
+
+def test_unpruned_flags_are_noop(spark, docs):
+    """prune [0,0,0] must be byte-identical to no pruning at all."""
+    from kenlm_rs_spark.builder.lmplz import estimate_arpa
+
+    assert estimate_arpa(docs, order=3, prune_thresholds=[0, 0, 0]) == \
+        estimate_arpa(docs, order=3)
+
+
+def test_pruned_arpa_frozen_regression(spark, docs):
+    from kenlm_rs_spark.builder.lmplz import estimate_arpa
+
+    assert os.path.exists(FIXTURE), "run the freeze snippet in tools/ first"
+    expected = open(FIXTURE).read()
+    assert estimate_arpa(docs, order=3, prune_thresholds=PRUNE) == expected
+
+
+def test_pruned_model_scores(spark, docs):
+    import io
+
+    from kenlm_rs_spark.lm.arpa import read_arpa
+    from kenlm_rs_spark.lm.model import NGramModel
+
+    m = NGramModel.from_arpa(read_arpa(io.StringIO(open(FIXTURE).read())))
+    total, tokens, oov, ppl = m.perplexity("data table hash merge group".split())
+    assert tokens == 6 and ppl > 1.0 and total < 0
+
+
+def test_monotonicity_enforced(spark, docs):
+    from kenlm_rs_spark.builder.lmplz import estimate_df
+
+    with pytest.raises(ValueError, match="non-decreasing"):
+        estimate_df(docs, order=3, prune_thresholds=[0, 2, 1]).collect()
