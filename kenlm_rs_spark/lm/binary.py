@@ -35,7 +35,10 @@ from __future__ import annotations
 import numpy as np
 
 from .headers import (
+    ARRAY_TRIE,
     PROBING,
+    QUANT_ARRAY_TRIE,
+    QUANT_TRIE,
     TRIE,
     BinaryFormatError,
     BinaryHeaders,
@@ -111,21 +114,43 @@ def load_binary(path: str, store_vocab: bool = True) -> NGramModel:
         )
     with open(path, "rb") as f:
         data = f.read()
-    if fixed.model_type == TRIE:
+    if fixed.model_type in (TRIE, QUANT_TRIE, ARRAY_TRIE, QUANT_ARRAY_TRIE):
         if fixed.search_version != 1:
             raise BinaryFormatError(f"trie search version {fixed.search_version} != 1")
-        return _load_trie(data, headers, store_vocab)
+        return _load_trie(
+            data, headers, store_vocab,
+            quantized=fixed.model_type in (QUANT_TRIE, QUANT_ARRAY_TRIE),
+            bhiksha=fixed.model_type in (ARRAY_TRIE, QUANT_ARRAY_TRIE),
+        )
     if fixed.model_type == PROBING:
         if fixed.search_version != 0:
             raise BinaryFormatError(f"probing search version {fixed.search_version} != 0")
         return _load_probing(data, headers, store_vocab)
     raise BinaryFormatError(
-        f"model type {fixed.model_type} not implemented (quantized/bhiksha tries "
-        "and rest-probing are out of scope; rebuild as TRIE or PROBING)"
+        f"model type {fixed.model_type} not implemented (rest-probing is out of "
+        "scope; rebuild as TRIE or PROBING)"
     )
 
 
-def _load_trie(data: bytes, headers: BinaryHeaders, store_vocab: bool) -> NGramModel:
+def _chop_bits_read(max_offset: int, max_next: int, config_bits: int) -> int:
+    """bhiksha.cc ChopBits — recomputed at load time from the stored config
+    byte, exactly like ArrayBhiksha's constructor."""
+    req = required_bits(max_next)
+    best_chop, lowest = 0, None
+    for chop in range(0, min(req, config_bits) + 1):
+        change = (max_next >> (req - chop)) * 64 - max_offset * chop
+        if lowest is None or change < lowest:
+            lowest, best_chop = change, chop
+    return best_chop
+
+
+def _load_trie(
+    data: bytes,
+    headers: BinaryHeaders,
+    store_vocab: bool,
+    quantized: bool = False,
+    bhiksha: bool = False,
+) -> NGramModel:
     counts = headers.counts
     n_orders = len(counts)
     hs = headers.header_size
@@ -137,6 +162,29 @@ def _load_trie(data: bytes, headers: BinaryHeaders, store_vocab: bool) -> NGramM
     bound = n_hashes + 1
     vocab_size = 8 + 8 * counts[0]
     pos = hs + vocab_size
+
+    # ---- quantization tables (quantize.cc: 8-byte header {version=2,
+    # prob_bits, backoff_bits} + per-middle prob/backoff bins + longest bins)
+    quant_tables = None
+    long_bins = None
+    pb = bb = 0
+    if quantized:
+        version, pb, bb = data[pos], data[pos + 1], data[pos + 2]
+        if version != 2:
+            raise BinaryFormatError(
+                f"quantization version {version} != 2 (quantize.cc)"
+            )
+        qpos = pos + 8
+        quant_tables = []
+        for _ in range(2, n_orders):
+            prob_bins = np.frombuffer(data, dtype="<f4", count=1 << pb, offset=qpos)
+            qpos += 4 * (1 << pb)
+            backoff_bins = np.frombuffer(data, dtype="<f4", count=1 << bb, offset=qpos)
+            qpos += 4 * (1 << bb)
+            quant_tables.append((prob_bins, backoff_bins))
+        long_bins = np.frombuffer(data, dtype="<f4", count=1 << pb, offset=qpos)
+        qpos += 4 * (1 << pb)
+        pos = qpos
 
     # ---- unigram array
     uni_count = counts[0] + 2
@@ -160,16 +208,45 @@ def _load_trie(data: bytes, headers: BinaryHeaders, store_vocab: bool) -> NGramM
     per_order_child_end = []
     for order in range(2, n_orders):
         entries = counts[order - 1]
-        next_bits = required_bits(counts[order])
-        total_bits = word_bits + 63 + next_bits
+        quant_width = (pb + bb) if quantized else 63
+        if bhiksha:
+            # ArrayBhiksha region precedes the bit array: 8-byte header
+            # {version, config bits} + offsets array + 7 slack (bhiksha.cc)
+            bver, config_bits = data[pos], data[pos + 1]
+            if bver != 0:
+                raise BinaryFormatError(f"bhiksha version {bver} != 0")
+            chop = _chop_bits_read(entries + 1, counts[order], config_bits)
+            next_bits = required_bits(counts[order]) - chop
+            array_count = (counts[order] >> next_bits) + 1
+            offsets = np.frombuffer(
+                data, dtype="<u8", count=array_count, offset=pos + 8
+            ).astype(np.int64)
+            pos += 8 * (1 + array_count) + 7
+        else:
+            next_bits = required_bits(counts[order])
+            offsets = None
+        total_bits = word_bits + quant_width + next_bits
         size = ((1 + entries) * total_bits + 7) // 8 + 8
         region = buf[pos : pos + size]
         base = np.arange(entries, dtype=np.uint64) * np.uint64(total_bits)
         word = _read_bits(region, base, word_bits).astype(np.int64)
-        prob = _nonpositive_f31(_read_bits(region, base + np.uint64(word_bits), 32) & np.uint64(0x7FFFFFFF))
-        backoff = _bits_to_f32(_read_bits(region, base + np.uint64(word_bits + 31), 32))
-        base_next = np.arange(entries + 1, dtype=np.uint64) * np.uint64(total_bits) + np.uint64(word_bits + 63)
+        if quantized:
+            q_b = _read_bits(region, base + np.uint64(word_bits), bb).astype(np.int64)
+            q_p = _read_bits(region, base + np.uint64(word_bits + bb), pb).astype(np.int64)
+            prob_bins, backoff_bins = quant_tables[order - 2]
+            prob = prob_bins[q_p].copy()
+            backoff = backoff_bins[q_b].copy()
+        else:
+            prob = _nonpositive_f31(_read_bits(region, base + np.uint64(word_bits), 32) & np.uint64(0x7FFFFFFF))
+            backoff = _bits_to_f32(_read_bits(region, base + np.uint64(word_bits + 31), 32))
+        base_next = np.arange(entries + 1, dtype=np.uint64) * np.uint64(total_bits) + np.uint64(word_bits + quant_width)
         nexts = _read_bits(region, base_next, next_bits).astype(np.int64)
+        if bhiksha:
+            # full pointer = (offset-block << inline_bits) | inline value,
+            # block = last offsets entry <= entry index (bhiksha.hh ReadNext)
+            idxs = np.arange(entries + 1, dtype=np.int64)
+            blocks = np.searchsorted(offsets, idxs, side="right") - 1
+            nexts = (blocks << np.int64(next_bits)) | nexts
         per_order_word.append(word)
         per_order_prob.append(prob)
         per_order_backoff.append(backoff)
@@ -179,12 +256,16 @@ def _load_trie(data: bytes, headers: BinaryHeaders, store_vocab: bool) -> NGramM
 
     # ---- longest
     entries = counts[-1]
-    total_bits = word_bits + 31
+    total_bits = word_bits + (pb if quantized else 31)
     size = ((1 + entries) * total_bits + 7) // 8 + 8
     region = buf[pos : pos + size]
     base = np.arange(entries, dtype=np.uint64) * np.uint64(total_bits)
     long_word = _read_bits(region, base, word_bits).astype(np.int64)
-    long_prob = _nonpositive_f31(_read_bits(region, base + np.uint64(word_bits), 32) & np.uint64(0x7FFFFFFF))
+    if quantized:
+        q_p = _read_bits(region, base + np.uint64(word_bits), pb).astype(np.int64)
+        long_prob = long_bins[q_p].copy()
+    else:
+        long_prob = _nonpositive_f31(_read_bits(region, base + np.uint64(word_bits), 32) & np.uint64(0x7FFFFFFF))
     pos += size
 
     # ---- vocab strings (enumeration order == id order for the trie)
