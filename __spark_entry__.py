@@ -132,8 +132,10 @@ def q_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.withColumn("lm", udf(F.col("text_scrubbed"))).select(
         "*", "lm.log10_prob", "lm.tokens", "lm.oov", "lm.ppl"
     ).drop("lm")
-    # scored once, reused for both the threshold pass and the decision pass
-    docs = docs.cache()
+    # scored once, reused for both the threshold pass and the decision pass;
+    # the raw/scrubbed text columns are not part of the decision output —
+    # dropping them before the cache keeps the cached rows feature-sized
+    docs = docs.drop("text", "text_scrubbed", "source", "html").cache()
     thr = ppl_thresholds(docs, lang_col="lang_pred", ppl_col="ppl")
     docs = with_buckets(docs, thr, lang_col="lang_pred", ppl_col="ppl")
     docs = decide(docs, lang_conf_col=None)
@@ -159,16 +161,38 @@ def q_token_stats(spark, sf_dir):
 
 
 def q_quality_features(spark, sf_dir):
-    """Heuristic quality rule columns (length/symbol/digit/stopword/repetition)."""
+    """Heuristic quality rule columns (length/symbol/digit/stopword/repetition).
+
+    Tokenizes ONCE into a temp column — Catalyst does not CSE the split
+    across independent column expressions (CLAUDE.md gotcha), and the split
+    dominates the stage cost."""
     docs = _docs(spark, sf_dir)
     t = F.col("text")
-    return docs.select(
-        "doc_id",
-        F.round(ts.symbol_ratio(t), 6).alias("symbol_ratio"),
-        F.round(ts.digit_ratio(t), 6).alias("digit_ratio"),
-        F.round(ts.stopword_ratio(t), 6).alias("stop_ratio"),
-        F.round(ts.mean_word_length(t), 6).alias("mean_word_len"),
-        F.round(ts.dup_ngram_fraction(t, 3), 6).alias("dup3_frac"),
+    toks = F.col("__toks")
+    grams3 = ts.ngrams_from_tokens(toks, 3)
+    return (
+        docs.withColumn("__toks", ts.tokens_col(t))
+        .select(
+            "doc_id",
+            F.round(ts.symbol_ratio(t), 6).alias("symbol_ratio"),
+            F.round(ts.digit_ratio(t), 6).alias("digit_ratio"),
+            F.round(
+                F.size(F.filter(toks, lambda w: F.lower(w).isin(*ts.STOPWORDS)))
+                / F.greatest(F.size(toks), F.lit(1)),
+                6,
+            ).alias("stop_ratio"),
+            F.round(
+                F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+                / F.greatest(F.size(toks), F.lit(1)),
+                6,
+            ).alias("mean_word_len"),
+            F.round(
+                F.when(F.size(grams3) <= 0, F.lit(0.0)).otherwise(
+                    1.0 - F.size(F.array_distinct(grams3)) / F.size(grams3)
+                ),
+                6,
+            ).alias("dup3_frac"),
+        )
     )
 
 
@@ -262,7 +286,9 @@ def q_pruned_counts(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir).select("text")
-    raw = raw_window_counts(docs, "text", 2)
+    # the window table feeds the adjusted counts, the <s> sentence count AND
+    # the raw-count prune join — cache it instead of recomputing 3x
+    raw = raw_window_counts(docs, "text", 2).cache()
     adj = adjusted_counts(raw, 2)
     out = with_prune_flags(adj, raw, 2, [0, 1])
     return out.select(

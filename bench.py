@@ -40,6 +40,15 @@ BENCH_QUERIES = [
     "cosine_topk",
     "lsh_ann",
     "langid_docs",
+    # added r02 (appended so r01 per-query timings stay comparable)
+    "pruned_counts",
+    "context_filter",
+    "multiout_filter",
+    "phrase_filter",
+    "lsh_jaccard",
+    "image_metadata",
+    "dedup_embedding",
+    "events_sessionize",
 ]
 
 

@@ -414,6 +414,65 @@ def estimate_arpa_sections(
     return sections
 
 
+def _arpa_line(g: tuple, p, gamma, n: int, order: int) -> str:
+    """One ARPA record, byte-identical to estimate_arpa_sections+write_arpa
+    (same -99/<s> sentinels, same %g rendering, same backoff-omission rule)."""
+    if n < order:
+        lp = -99.0 if g == ("<s>",) else (math.log10(p) if p and p > 0 else -99.0)
+        log_bo = math.log10(gamma) if gamma is not None and gamma > 0 else -0.0
+        if log_bo == 0.0 and not math.copysign(1.0, log_bo) < 0:
+            return f"{lp:g}\t{' '.join(g)}\t0\n"
+        if log_bo == 0.0:
+            return f"{lp:g}\t{' '.join(g)}\n"
+        return f"{lp:g}\t{' '.join(g)}\t{log_bo:g}\n"
+    lp = math.log10(p) if p and p > 0 else -99.0
+    return f"{lp:g}\t{' '.join(g)}\n"
+
+
+def estimate_arpa_to_path(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    order: int = 3,
+    prune_thresholds: list[int] | None = None,
+) -> dict[int, int]:
+    """Driver-memory-bounded ARPA emit for models larger than driver RAM:
+    each order is sorted DISTRIBUTEDLY (Spark range-partitioned sort on the
+    gram array) and streamed through the driver one partition at a time with
+    ``toLocalIterator`` — nothing model-sized is ever collect()ed. Output is
+    byte-identical to ``estimate_arpa`` (regression-tested). Returns the
+    per-order counts. Atomic: tmp + rename."""
+    import os
+
+    model = estimate_df(df, text_col, order, prune_thresholds).persist()
+    counts = {
+        int(r["n"]): int(r["c"])
+        for r in model.groupBy("n").agg(F.count("*").alias("c")).collect()
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "w") as out:
+        out.write("\\data\\\n")
+        for n in range(1, order + 1):
+            out.write(f"ngram {n}={counts.get(n, 0)}\n")
+        out.write("\n")
+        for n in range(1, order + 1):
+            out.write(f"\\{n}-grams:\n")
+            lvl = (
+                model.filter(F.col("n") == n)
+                .select("gram", "p", "gamma")
+                .orderBy("gram")
+            )
+            for row in lvl.toLocalIterator(prefetchPartitions=True):
+                out.write(
+                    _arpa_line(tuple(row["gram"]), row["p"], row["gamma"], n, order)
+                )
+            out.write("\n")
+        out.write("\\end\\\n")
+    os.replace(tmp, path)
+    model.unpersist()
+    return counts
+
+
 def estimate_arpa(
     df: DataFrame,
     text_col: str = "text",

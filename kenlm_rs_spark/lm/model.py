@@ -156,6 +156,70 @@ class NGramModel:
     def null_state(self) -> State:
         return State([], [], 0)
 
+    def get_state(self, context_rev) -> State:
+        """K15 GetState (model.cc:215-245): build a State from a context
+        alone (word ids, MOST RECENT FIRST) without scoring. Walks the
+        lookup chain until the first missing middle; the state length is the
+        longest prefix whose backoff carries the extension flag."""
+        ctx = [int(w) for w in context_rev][: self.order - 1]
+        if not ctx:
+            return State([], [], 0)
+        backoffs = [float(self.uni_backoff[ctx[0]])]
+        length = 1 if has_extension_f32(backoffs[0]) else 0
+        node = ctx[0]
+        for i in range(1, len(ctx)):
+            tab = self.middles[i - 1]
+            key = combine_word_hash(node, ctx[i])
+            j = tab.find(key)
+            if j < 0:
+                break
+            bo = float(tab.backoff[j])
+            backoffs.append(bo)
+            if has_extension_f32(bo):
+                length = i + 1
+            node = key
+        return State(ctx[:length], backoffs[: max(length, 1)], length)
+
+    def full_score_forgot_state(self, context_rev, word_id: int):
+        """K16 FullScoreForgotState (model.cc:180-212): score ``word_id``
+        given a context ARRAY (ids, most recent first) instead of a carried
+        State. Equals full_score(get_state(ctx), w) bit-exactly: the same
+        backoff values are charged in the same ascending f32 order."""
+        ctx = [int(w) for w in context_rev][: self.order - 1]
+        # ScoreExceptBackoff: walk the context chain but charge nothing
+        # (zero backoffs are exact f32 no-ops)
+        pseudo = State(ctx, [0.0] * len(ctx), len(ctx))
+        prob, out_state, ngram_length, indep = self.full_score(pseudo, word_id)
+        total = np.float32(prob)
+        start = ngram_length
+        if len(ctx) < start:
+            return float(total), out_state, ngram_length, indep
+        if start <= 1:
+            total = np.float32(total + np.float32(self.uni_backoff[ctx[0]]))
+            start = 2
+            node = ctx[0]
+        else:
+            # FastMakeNode over ctx[0 .. start-2]
+            node = ctx[0]
+            ok = True
+            for k in range(1, start - 1):
+                key = combine_word_hash(node, ctx[k])
+                if self.middles[k - 1].find(key) < 0:
+                    ok = False
+                    break
+                node = key
+            if not ok:
+                return float(total), out_state, ngram_length, indep
+        for i in range(start - 1, len(ctx)):
+            tab = self.middles[i - 1]
+            key = combine_word_hash(node, ctx[i])
+            j = tab.find(key)
+            if j < 0:
+                break
+            total = np.float32(total + np.float32(tab.backoff[j]))
+            node = key
+        return float(total), out_state, ngram_length, indep
+
     # ------------------------------------------------------------------ scoring
 
     def full_score(self, in_state: State, word_id: int):

