@@ -1,0 +1,96 @@
+"""CLI twins of the reference binaries (tools/): lmplz, build_binary,
+query, filter — end-to-end through their main() entry points."""
+
+from __future__ import annotations
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+LM_SMALL = "/root/reference/test_data/arpa/lm_small.arpa"
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def test_build_binary_and_query_roundtrip(tmp_path):
+    from kenlm_rs_spark.lm.model import NGramModel
+    from kenlm_rs_spark.tools.build_binary import main as bb
+    from kenlm_rs_spark.tools.query import main as q
+
+    probing = str(tmp_path / "p.bin")
+    trie = str(tmp_path / "t.bin")
+    qat = str(tmp_path / "qat.bin")
+    bb(["probing", LM_SMALL, probing])
+    bb(["trie", LM_SMALL, trie])
+    bb(["-q", "8", "-a", "64", "trie", LM_SMALL, qat])
+
+    ref = NGramModel.load(LM_SMALL)
+    expect = ref.score_sentence(["a", "b"], True, True)
+    for path in (probing, trie):
+        got = NGramModel.load(path).score_sentence(["a", "b"], True, True)
+        assert np.float32(got) == np.float32(expect), path
+
+    out = io.StringIO()
+    q([probing, "--sentences", "a b"], stdout=out)
+    text = out.getvalue()
+    assert "Total:" in text and "Perplexity including OOVs:" in text
+    # the reported per-sentence total matches the model's fold
+    total_line = [l for l in text.splitlines() if "Total:" in l][0]
+    got_total = float(total_line.split("Total:")[1].split()[0])
+    assert got_total == pytest.approx(expect, abs=5e-7)
+
+
+def test_query_flags(tmp_path):
+    from kenlm_rs_spark.tools.query import main as q
+
+    out = io.StringIO()
+    q([LM_SMALL, "-b", "-n", "--sentences", "a b"], stdout=out)
+    from kenlm_rs_spark.lm.model import NGramModel
+
+    ref = NGramModel.load(LM_SMALL)
+    expect = ref.score_sentence(["a", "b"], False, False)
+    total_line = [l for l in out.getvalue().splitlines() if "Total:" in l][0]
+    assert float(total_line.split("Total:")[1].split()[0]) == pytest.approx(
+        expect, abs=5e-7
+    )
+
+
+def test_lmplz_cli(tmp_path, spark):
+    from kenlm_rs_spark.builder.lmplz import estimate_arpa
+    from kenlm_rs_spark.tools.lmplz import expand_prune, main as lmplz
+
+    assert expand_prune([0, 1], 4) == [0, 1, 1, 1]
+    assert expand_prune([], 3) is None
+
+    txt = tmp_path / "corpus.txt"
+    txt.write_text("a b c\nb c d\na b d\nc a b\n" * 5)
+    out = str(tmp_path / "cli.arpa")
+    lmplz(["-o", "2", "--text", str(txt), "--arpa", out,
+           "--prune", "0", "1", "--master", "local[4]"])
+    df = spark.read.text(str(txt)).withColumnRenamed("value", "text")
+    expect = estimate_arpa(df, order=2, prune_thresholds=[0, 1])
+    assert open(out).read() == expect
+
+
+def test_filter_cli(tmp_path):
+    from kenlm_rs_spark.lm.arpa import read_arpa
+    from kenlm_rs_spark.tools.filter import main as fmain
+
+    out = str(tmp_path / "f.arpa")
+    fmain(["single", "--model", LM_SMALL, "--words", "a b c",
+           "--output", out, "--master", "local[4]"])
+    filtered = read_arpa(out)
+    full = read_arpa(LM_SMALL)
+    assert sum(filtered.counts) < sum(full.counts)
+    allowed = {"a", "b", "c", "<s>", "</s>", "<unk>"}
+    for recs in filtered.backoffs:
+        for r in recs:
+            assert set(r.ngram) <= allowed
+    for r in filtered.no_backoff:
+        assert set(r.ngram) <= allowed
+
+    # copy mode: parse -> print roundtrip parses back with identical counts
+    cp = str(tmp_path / "copy.arpa")
+    fmain(["copy", "--model", LM_SMALL, "--output", cp])
+    assert read_arpa(cp).counts == full.counts
