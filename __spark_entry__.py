@@ -169,7 +169,6 @@ def q_quality_features(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     t = F.col("text")
     toks = F.col("__toks")
-    grams3 = ts.ngrams_from_tokens(toks, 3)
     return (
         docs.withColumn("__toks", ts.tokens_col(t))
         .select(
@@ -186,12 +185,7 @@ def q_quality_features(spark, sf_dir):
                 / F.greatest(F.size(toks), F.lit(1)),
                 6,
             ).alias("mean_word_len"),
-            F.round(
-                F.when(F.size(grams3) <= 0, F.lit(0.0)).otherwise(
-                    1.0 - F.size(F.array_distinct(grams3)) / F.size(grams3)
-                ),
-                6,
-            ).alias("dup3_frac"),
+            F.round(ts.dup_fraction_from_tokens(toks, 3), 6).alias("dup3_frac"),
         )
     )
 

@@ -9,7 +9,7 @@ The input is a deterministically generated pages table large enough that
 compute dominates fixed per-job overheads (default 120k docs; override with
 SCALING_DOCS). Also records the sf0.1 driver-bench numbers for reference.
 
-Writes BENCH/BASELINE.md and prints one JSON line.
+Writes BENCH/scaling_last_run.md (raw) and prints one JSON line; BENCH/BASELINE.md is the curated summary.
 """
 
 from __future__ import annotations
