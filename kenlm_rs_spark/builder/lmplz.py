@@ -103,6 +103,7 @@ def with_prune_flags(
     raw: DataFrame,
     order: int,
     prune_thresholds: list[int] | None,
+    limit_vocab: set[str] | list[str] | None = None,
 ) -> DataFrame:
     """Attach the reference's prune mark (adjust_counts.cc:219-233,265-283):
     an order-n gram is pruned iff its RAW occurrence count (not the adjusted
@@ -110,9 +111,25 @@ def with_prune_flags(
     <s>/</s>/<unk> are never pruned (``if(*full->begin() > 2)`` guard and the
     ``actual_counts[0] = max`` hack). Thresholds must be non-decreasing with
     order so the surviving set stays suffix/prefix-closed (lmplz enforces the
-    same)."""
+    same).
+
+    ``limit_vocab`` = lmplz ``--limit_vocab_file`` (prune_words marks,
+    adjust_counts.cc:137-146,227-233): any gram containing a word OUTSIDE
+    the allowed list is pruned at every order; <s>/</s>/<unk> are always
+    allowed. Composes with the count thresholds (either mark prunes)."""
+    vocab_pruned = None
+    if limit_vocab is not None:
+        allowed = sorted(set(limit_vocab) | set(RESERVED))
+        vocab_pruned = ~F.forall(F.col("gram"), lambda w: w.isin(*allowed))
+        # protect the reserved unigrams themselves (index > 2 guard)
+        vocab_pruned = vocab_pruned & ~(
+            (F.col("n") == 1) & F.element_at("gram", 1).isin(*RESERVED)
+        )
     if not prune_thresholds or all(t <= 0 for t in prune_thresholds):
-        return adjusted.withColumn("pruned", F.lit(False))
+        return adjusted.withColumn(
+            "pruned",
+            vocab_pruned if vocab_pruned is not None else F.lit(False),
+        )
     if len(prune_thresholds) != order:
         raise ValueError(f"need {order} thresholds, got {prune_thresholds}")
     if any(
@@ -135,6 +152,8 @@ def with_prune_flags(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if vocab_pruned is not None:
+        out = out.withColumn("pruned", F.col("pruned") | vocab_pruned)
     return out
 
 
@@ -285,6 +304,7 @@ def estimate_df(
     text_col: str = "text",
     order: int = 3,
     prune_thresholds: list[int] | None = None,
+    limit_vocab: set[str] | list[str] | None = None,
 ) -> DataFrame:
     """Full estimation as a distributed plan: returns a DataFrame
     (n int, gram array<string>, p double, gamma double) — interpolated
@@ -304,7 +324,7 @@ def estimate_df(
     if prune_thresholds and any(t > 0 for t in prune_thresholds):
         raw = raw.cache()
     adj = adjusted_counts(raw, order)
-    adj = with_prune_flags(adj, raw, order, prune_thresholds).cache()
+    adj = with_prune_flags(adj, raw, order, prune_thresholds, limit_vocab).cache()
     discounts = discount_stats(adj, order)
     probs, gammas = initial_probabilities(adj, discounts, order)
     probs = probs.cache()
@@ -375,11 +395,12 @@ def estimate_arpa_sections(
     text_col: str = "text",
     order: int = 3,
     prune_thresholds: list[int] | None = None,
+    limit_vocab: set[str] | list[str] | None = None,
 ) -> ArpaSections:
     """Estimation -> ARPA sections (collects the final model-sized table;
     with pruning the collected table is vocabulary-shaped even at corpus
     scale — see estimate_df)."""
-    rows = estimate_df(df, text_col, order, prune_thresholds).collect()
+    rows = estimate_df(df, text_col, order, prune_thresholds, limit_vocab).collect()
     by_order: dict[int, list] = {}
     for r in rows:
         by_order.setdefault(r["n"], []).append(
@@ -435,6 +456,7 @@ def estimate_arpa_to_path(
     text_col: str = "text",
     order: int = 3,
     prune_thresholds: list[int] | None = None,
+    limit_vocab: set[str] | list[str] | None = None,
 ) -> dict[int, int]:
     """Driver-memory-bounded ARPA emit for models larger than driver RAM:
     each order is sorted DISTRIBUTEDLY (Spark range-partitioned sort on the
@@ -444,7 +466,7 @@ def estimate_arpa_to_path(
     per-order counts. Atomic: tmp + rename."""
     import os
 
-    model = estimate_df(df, text_col, order, prune_thresholds).persist()
+    model = estimate_df(df, text_col, order, prune_thresholds, limit_vocab).persist()
     counts = {
         int(r["n"]): int(r["c"])
         for r in model.groupBy("n").agg(F.count("*").alias("c")).collect()
@@ -478,9 +500,10 @@ def estimate_arpa(
     text_col: str = "text",
     order: int = 3,
     prune_thresholds: list[int] | None = None,
+    limit_vocab: set[str] | list[str] | None = None,
 ) -> str:
     """Estimate and render the ARPA text."""
-    sections = estimate_arpa_sections(df, text_col, order, prune_thresholds)
+    sections = estimate_arpa_sections(df, text_col, order, prune_thresholds, limit_vocab)
     buf = io.StringIO()
     write_arpa(sections, buf)
     return buf.getvalue()

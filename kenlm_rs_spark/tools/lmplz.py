@@ -34,6 +34,9 @@ def main(argv=None):
     ap.add_argument("--arpa", required=True, help="output ARPA path")
     ap.add_argument("--prune", type=int, nargs="*", default=[],
                     help="per-order raw-count thresholds (non-decreasing; last extends)")
+    ap.add_argument("--limit_vocab_file", default=None,
+                    help="whitespace-separated allowed vocabulary; n-grams "
+                         "containing other words are pruned (lmplz flag)")
     ap.add_argument("--text_col", default="text")
     ap.add_argument("--stream", action="store_true",
                     help="emit via the driver-memory-bounded streaming path "
@@ -54,14 +57,18 @@ def main(argv=None):
     else:
         df = spark.read.parquet(args.text)
     prune = expand_prune(args.prune, args.order)
+    limit_vocab = None
+    if args.limit_vocab_file:
+        limit_vocab = set(open(args.limit_vocab_file).read().split())
     if args.stream:
         counts = estimate_arpa_to_path(
             df, args.arpa, text_col=args.text_col, order=args.order,
-            prune_thresholds=prune,
+            prune_thresholds=prune, limit_vocab=limit_vocab,
         )
     else:
         arpa = estimate_arpa(
-            df, text_col=args.text_col, order=args.order, prune_thresholds=prune
+            df, text_col=args.text_col, order=args.order,
+            prune_thresholds=prune, limit_vocab=limit_vocab,
         )
         with open(args.arpa + ".tmp", "w") as f:
             f.write(arpa)

@@ -138,6 +138,49 @@ def test_streaming_arpa_emit_byte_identical(spark, docs, tmp_path):
         assert set(counts) == {1, 2, 3}
 
 
+def test_limit_vocab_pruning(spark, docs):
+    """lmplz --limit_vocab_file semantics: n-grams containing out-of-vocab
+    words are pruned at every order; reserved symbols always allowed; the
+    conditional distributions stay normalized (pruned mass in gamma)."""
+    from kenlm_rs_spark.builder.lmplz import estimate_df
+    from kenlm_rs_spark.ops import textstats as ts
+
+    uni = ts.ngram_counts(docs, 1)
+    vocab = {
+        r["ngram"]
+        for r in uni.orderBy(F.desc("count"), F.asc("ngram")).limit(15).collect()
+    }
+    rows = estimate_df(docs, order=3, limit_vocab=vocab).collect()
+    allowed = vocab | {"<s>", "</s>", "<unk>"}
+    for r in rows:
+        assert set(r["gram"]) <= allowed, r["gram"]
+    # some restriction actually happened, and all orders still populated
+    ns = {r["n"] for r in rows}
+    assert ns == {1, 2, 3}
+    n_uni = sum(1 for r in rows if r["n"] == 1)
+    assert n_uni <= len(vocab) + 3
+
+    # normalization law under vocab pruning
+    p = {tuple(r["gram"]): r["p"] for r in rows}
+    gamma = {
+        tuple(r["gram"]): r["gamma"] for r in rows if r["gamma"] is not None
+    }
+    by_ctx: dict[tuple, list[tuple]] = {}
+    for r in rows:
+        g = tuple(r["gram"])
+        if len(g) >= 2:
+            by_ctx.setdefault(g[:-1], []).append(g)
+    checked = 0
+    for c, children in by_ctx.items():
+        if c not in gamma:
+            continue
+        mass = sum(p[g] for g in children)
+        lower = sum(p[g[1:]] for g in children)
+        assert mass + gamma[c] * (1.0 - lower) == pytest.approx(1.0, abs=1e-9), c
+        checked += 1
+    assert checked > 10
+
+
 def test_monotonicity_enforced(spark, docs):
     from kenlm_rs_spark.builder.lmplz import estimate_df
 

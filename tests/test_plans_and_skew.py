@@ -100,3 +100,41 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_lsh_jaccard_plan_no_cartesian(spark):
+    """The composed blocked-verify dedup must contain only equi-joins —
+    the LSH band join on (band, sig) and the candidate-to-shingle joins."""
+    from kenlm_rs_spark.ops.dedup import lsh_jaccard_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(lsh_jaccard_dedup(docs, shingle_n=3, num_hashes=8, bands=4,
+                                   threshold=0.12))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pruned_counts_single_scan_per_branch(spark):
+    """with_prune_flags joins adjusted counts with the suffix-summed actual
+    counts on the gram key — equi-join, no cartesian, no python in the plan."""
+    from kenlm_rs_spark.builder.lmplz import (
+        adjusted_counts,
+        raw_window_counts,
+        with_prune_flags,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("text")
+    raw = raw_window_counts(docs, "text", 2)
+    out = with_prune_flags(adjusted_counts(raw, 2), raw, 2, [0, 1])
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dup3_udf_is_arrow_vectorized(spark):
+    """The hot-path dup3 must run as ArrowEvalPython (vectorized), never
+    row-at-a-time BatchEvalPython."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(docs.select(ts.make_dup3_udf()(F.col("text")).alias("d")))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
