@@ -390,6 +390,23 @@ def q_image_metadata(spark, sf_dir):
     return image_metadata(docs)
 
 
+def q_paragraph_stats(spark, sf_dir):
+    """Paragraph-splitting plumbing of the CCNet per-paragraph filter
+    (ops/paragraphs.py): the documents table has no newlines, so ' the ' is
+    used as a deterministic pseudo-separator; per paragraph: index + token
+    count + char count (order-preserving posexplode, empties dropped)."""
+    from kenlm_rs_spark.ops.paragraphs import split_paragraphs
+
+    docs = _docs(spark, sf_dir)
+    paras = split_paragraphs(docs, sep=" the ")
+    return paras.select(
+        "doc_id",
+        "para_idx",
+        ts.token_count(F.col("para")).alias("n_tokens"),
+        F.length("para").alias("n_chars"),
+    )
+
+
 def q_union_filter(spark, sf_dir):
     """U2/F4 union filter: bigrams starting with 'data' union bigrams ending
     with 'table', distinct."""
@@ -513,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_filter": q_phrase_filter,
         "lsh_jaccard": q_lsh_jaccard,
         "image_metadata": q_image_metadata,
+        "paragraph_stats": q_paragraph_stats,
         "union_filter": q_union_filter,
         "suffix_sort_topk": q_suffix_sort_topk,
         "j1_suffix_join": q_j1_suffix_join,
@@ -854,6 +872,21 @@ def oracle_sql() -> dict[str, str]:
                    round(common / (size_a + size_b - common), 6) AS jaccard
             FROM common
             WHERE common / (size_a + size_b - common) >= 0.12
+        """,
+        "paragraph_stats": """
+            WITH ps AS (
+              SELECT doc_id, string_split(text, ' the ') AS parts
+              FROM documents
+            ), u AS (
+              SELECT doc_id,
+                     unnest(range(len(parts))) AS para_idx,
+                     unnest(parts) AS para
+              FROM ps
+            )
+            SELECT doc_id, para_idx,
+                   len(list_filter(string_split_regex(para, '[\\x00\\t\\n\\r ]+'), y -> y != '')) AS n_tokens,
+                   length(para) AS n_chars
+            FROM u WHERE trim(para) != ''
         """,
         "image_metadata": """
             SELECT doc_id,

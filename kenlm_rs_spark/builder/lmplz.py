@@ -305,6 +305,7 @@ def estimate_df(
     order: int = 3,
     prune_thresholds: list[int] | None = None,
     limit_vocab: set[str] | list[str] | None = None,
+    interpolate_unigrams: bool = True,
 ) -> DataFrame:
     """Full estimation as a distributed plan: returns a DataFrame
     (n int, gram array<string>, p double, gamma double) — interpolated
@@ -344,12 +345,17 @@ def estimate_df(
         F.col("gram").alias("g_ctx"), F.col("n_ctx"), F.col("gamma")
     )
 
-    # order 1: p = u + gamma(eps) * uniform, plus injected <unk> and <s>
+    # order 1 (initial_probabilities.cc:218-250): interpolated (default)
+    # p = u + gamma(eps) * uniform with <unk> a zeroton; SRI style
+    # (--interpolate_unigrams 0) gives ALL the interpolation mass to <unk>:
+    # p(w) = u(w), p(<unk>) = gamma(eps)
+    uni_add = g_eps * uniform if interpolate_unigrams else 0.0
+    unk_mass = g_eps * uniform if interpolate_unigrams else g_eps
     p1 = probs.filter(F.col("n") == 1).select(
-        "gram", (F.col("u") + F.lit(g_eps * uniform)).alias("p")
+        "gram", (F.col("u") + F.lit(uni_add)).alias("p")
     )
     extra = df.sparkSession.createDataFrame(
-        [(["<unk>"], g_eps * uniform), (["<s>"], 0.0)],
+        [(["<unk>"], unk_mass), (["<s>"], 0.0)],
         "gram array<string>, p double",
     )
     p1 = p1.join(extra.select("gram"), "gram", "left_anti").unionByName(extra)
@@ -396,11 +402,14 @@ def estimate_arpa_sections(
     order: int = 3,
     prune_thresholds: list[int] | None = None,
     limit_vocab: set[str] | list[str] | None = None,
+    interpolate_unigrams: bool = True,
 ) -> ArpaSections:
     """Estimation -> ARPA sections (collects the final model-sized table;
     with pruning the collected table is vocabulary-shaped even at corpus
     scale — see estimate_df)."""
-    rows = estimate_df(df, text_col, order, prune_thresholds, limit_vocab).collect()
+    rows = estimate_df(
+        df, text_col, order, prune_thresholds, limit_vocab, interpolate_unigrams
+    ).collect()
     by_order: dict[int, list] = {}
     for r in rows:
         by_order.setdefault(r["n"], []).append(
@@ -501,9 +510,12 @@ def estimate_arpa(
     order: int = 3,
     prune_thresholds: list[int] | None = None,
     limit_vocab: set[str] | list[str] | None = None,
+    interpolate_unigrams: bool = True,
 ) -> str:
     """Estimate and render the ARPA text."""
-    sections = estimate_arpa_sections(df, text_col, order, prune_thresholds, limit_vocab)
+    sections = estimate_arpa_sections(
+        df, text_col, order, prune_thresholds, limit_vocab, interpolate_unigrams
+    )
     buf = io.StringIO()
     write_arpa(sections, buf)
     return buf.getvalue()

@@ -1,0 +1,83 @@
+"""Paragraph-level CCNet filtering: score and keep/drop PARAGRAPHS, then
+reassemble documents — the granularity the CCNet pipeline actually operates
+at (per-paragraph perplexity against the KenLM model; documents keep their
+clean paragraphs instead of dying whole).
+
+Spark shape (the 100 TB view): posexplode(split) is a narrow map — no
+shuffle to score; the only shuffle is the final groupBy(doc_id) reassembly
+on a uniform key. Paragraph scoring reuses the same broadcast-model Arrow
+UDF as document scoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PARA_SPLIT = "\n"
+
+
+def split_paragraphs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    sep: str = PARA_SPLIT,
+) -> DataFrame:
+    """(doc_id, para_idx, para) — one row per non-empty paragraph, original
+    order preserved in para_idx."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("para_idx", "para"),
+        )
+        .filter(F.trim(F.col("para")) != "")
+    )
+
+
+def paragraph_filter(
+    df: DataFrame,
+    bc_model,
+    ppl_cutoff: float,
+    min_tokens: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = PARA_SPLIT,
+) -> DataFrame:
+    """Per-paragraph perplexity keep/drop + document reassembly.
+
+    Returns (doc_id, text_clean, n_paras, n_kept, kept_frac) where
+    text_clean rejoins the surviving paragraphs with ``sep`` in original
+    order. A document whose every paragraph is dropped keeps an empty
+    text_clean (downstream length rules remove it)."""
+    from ..spark.scoring import make_score_udf
+
+    paras = split_paragraphs(df, id_col, text_col, sep)
+    udf = make_score_udf(bc_model, bos=True, eos=True)
+    scored = paras.withColumn("lm", udf(F.col("para"))).select(
+        "doc_id", "para_idx", "para",
+        F.col("lm.ppl").alias("ppl"),
+        F.col("lm.tokens").alias("tokens"),
+    )
+    kept = scored.withColumn(
+        "keep", (F.col("ppl") <= ppl_cutoff) & (F.col("tokens") >= min_tokens)
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.col("keep").cast("int")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct("para_idx", "para"),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("text_clean"),
+        )
+        .withColumn("kept_frac", F.col("n_kept") / F.col("n_paras"))
+    )

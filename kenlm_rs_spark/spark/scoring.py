@@ -80,6 +80,32 @@ def score_with_model(
     return df.withColumn(output_col, udf(F.col(text_col)))
 
 
+def register_sql_udfs(
+    spark: SparkSession,
+    bc_model,
+    bc_langid=None,
+    prefix: str = "kenlm_",
+) -> list[str]:
+    """Expose the Python-model kernels to SQL users:
+
+        spark.sql("SELECT kenlm_score(text).ppl, kenlm_langid(text).lang
+                   FROM docs")
+
+    Registers ``<prefix>score`` (struct log10_prob/tokens/oov/ppl) and, when
+    ``bc_langid`` is given, ``<prefix>langid`` (struct lang/lang_conf). Both
+    stay Arrow-vectorized through spark.udf.register. Returns the registered
+    names."""
+    names = []
+    spark.udf.register(f"{prefix}score", make_score_udf(bc_model))
+    names.append(f"{prefix}score")
+    if bc_langid is not None:
+        from ..pipeline.langid import make_langid_udf
+
+        spark.udf.register(f"{prefix}langid", make_langid_udf(bc_langid))
+        names.append(f"{prefix}langid")
+    return names
+
+
 def make_multi_lm_score_udf(bc_models: dict, bos: bool = True, eos: bool = True):
     """Score with a per-language model chosen by a lang column.
 

@@ -37,6 +37,9 @@ def main(argv=None):
     ap.add_argument("--limit_vocab_file", default=None,
                     help="whitespace-separated allowed vocabulary; n-grams "
                          "containing other words are pruned (lmplz flag)")
+    ap.add_argument("--interpolate_unigrams", type=int, default=1,
+                    help="1 (default) interpolates unigrams; 0 gives the "
+                         "interpolation mass to <unk> SRI-style (lmplz flag)")
     ap.add_argument("--text_col", default="text")
     ap.add_argument("--stream", action="store_true",
                     help="emit via the driver-memory-bounded streaming path "
@@ -64,11 +67,12 @@ def main(argv=None):
         counts = estimate_arpa_to_path(
             df, args.arpa, text_col=args.text_col, order=args.order,
             prune_thresholds=prune, limit_vocab=limit_vocab,
-        )
+        )  # streaming path keeps lmplz default unigram interpolation
     else:
         arpa = estimate_arpa(
             df, text_col=args.text_col, order=args.order,
             prune_thresholds=prune, limit_vocab=limit_vocab,
+            interpolate_unigrams=bool(args.interpolate_unigrams),
         )
         with open(args.arpa + ".tmp", "w") as f:
             f.write(arpa)

@@ -94,3 +94,24 @@ def test_filter_cli(tmp_path):
     cp = str(tmp_path / "copy.arpa")
     fmain(["copy", "--model", LM_SMALL, "--output", cp])
     assert read_arpa(cp).counts == full.counts
+
+
+def test_sql_udf_registration(spark):
+    """spark.sql users can call the Python-model kernels directly."""
+    from kenlm_rs_spark.lm.model import NGramModel
+    from kenlm_rs_spark.pipeline.langid import default_langid
+    from kenlm_rs_spark.spark.scoring import register_sql_udfs
+
+    bc = spark.sparkContext.broadcast(NGramModel.load(LM_SMALL))
+    bc_lid = spark.sparkContext.broadcast(default_langid())
+    names = register_sql_udfs(spark, bc, bc_lid)
+    assert names == ["kenlm_score", "kenlm_langid"]
+    spark.createDataFrame([("a b",), ("the cat sat",)], "text string") \
+        .createOrReplaceTempView("sql_udf_docs")
+    rows = spark.sql(
+        "SELECT kenlm_score(text).ppl AS ppl, kenlm_score(text).tokens AS t, "
+        "kenlm_langid(text).lang AS lang FROM sql_udf_docs ORDER BY t"
+    ).collect()
+    assert len(rows) == 2 and all(r["ppl"] > 0 for r in rows)
+    ref = NGramModel.load(LM_SMALL)
+    assert rows[0]["ppl"] == pytest.approx(ref.perplexity(["a", "b"])[3], rel=1e-6)

@@ -186,3 +186,27 @@ def test_monotonicity_enforced(spark, docs):
 
     with pytest.raises(ValueError, match="non-decreasing"):
         estimate_df(docs, order=3, prune_thresholds=[0, 2, 1]).collect()
+
+
+def test_sri_unigram_mode(spark, docs):
+    """--interpolate_unigrams 0 (SRI): all interpolation mass goes to <unk>
+    (initial_probabilities.cc:218-233); unigram mass excl <s> still exactly 1."""
+    from kenlm_rs_spark.builder.lmplz import estimate_df
+
+    rows = estimate_df(docs, order=2, interpolate_unigrams=False).collect()
+    p1 = {tuple(r["gram"])[0]: r["p"] for r in rows if r["n"] == 1}
+    default = {
+        tuple(r["gram"])[0]: r["p"]
+        for r in estimate_df(docs, order=2).collect()
+        if r["n"] == 1
+    }
+    # SRI <unk> absorbs the full gamma mass -> strictly larger than default
+    assert p1["<unk>"] > default["<unk>"] > 0
+    # every real word is smaller than its interpolated twin by the same delta
+    for w in p1:
+        if w not in ("<unk>", "<s>"):
+            assert p1[w] < default[w]
+    # both modes normalize exactly over the unigram distribution (excl <s>)
+    for dist in (p1, default):
+        total = sum(v for k, v in dist.items() if k != "<s>")
+        assert total == pytest.approx(1.0, abs=1e-9)

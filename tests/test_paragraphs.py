@@ -1,0 +1,71 @@
+"""Paragraph-level CCNet filtering: per-paragraph scoring, order-preserving
+reassembly, all-dropped and all-kept edge cases."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+EN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures", "lms", "en.arpa",
+)
+
+GOOD = "the cat sat on the mat and the dog sat on the rug near the door"
+JUNK = "zzqq flrpt xyzzy blorp wubble quux zork grue plugh frobozz nitfol"
+
+
+@pytest.fixture(scope="module")
+def bc_model(spark):
+    from kenlm_rs_spark.lm.model import NGramModel
+
+    if not os.path.exists(EN):
+        pytest.skip("en.arpa fixture missing")
+    return spark.sparkContext.broadcast(NGramModel.load(EN))
+
+
+def _cutoff(spark, bc_model):
+    """midpoint between the known-good and known-junk paragraph ppl."""
+    from kenlm_rs_spark.lm.score import score_texts
+
+    r = score_texts(bc_model.value, [GOOD, JUNK])
+    assert r["ppl"][0] < r["ppl"][1]
+    return float((r["ppl"][0] + r["ppl"][1]) / 2)
+
+
+def test_paragraph_filter_keeps_clean_paragraphs_in_order(spark, bc_model):
+    from kenlm_rs_spark.ops.paragraphs import paragraph_filter
+
+    cutoff = _cutoff(spark, bc_model)
+    g1, g2 = GOOD, GOOD.replace("cat", "bird")
+    docs = spark.createDataFrame(
+        [
+            (1, f"{g1}\n{JUNK}\n{g2}"),
+            (2, f"{JUNK}\n{JUNK}"),
+            (3, g1),
+            (4, f"\n{g1}\n\n{JUNK}\n"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_filter(docs, bc_model, ppl_cutoff=cutoff).collect()
+    }
+    assert out[1]["text_clean"] == f"{g1}\n{g2}"  # junk removed, order kept
+    assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 2
+    assert out[2]["text_clean"] == "" and out[2]["n_kept"] == 0
+    assert out[3]["text_clean"] == g1 and out[3]["kept_frac"] == 1.0
+    assert out[4]["text_clean"] == g1  # empty paragraphs never counted
+    assert out[4]["n_paras"] == 2
+
+
+def test_split_paragraphs_positions(spark):
+    from kenlm_rs_spark.ops.paragraphs import split_paragraphs
+
+    docs = spark.createDataFrame([(7, "a\n\nb\nc")], "doc_id long, text string")
+    rows = sorted(
+        (r["para_idx"], r["para"]) for r in split_paragraphs(docs).collect()
+    )
+    assert rows == [(0, "a"), (2, "b"), (3, "c")]
