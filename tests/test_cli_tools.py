@@ -115,3 +115,22 @@ def test_sql_udf_registration(spark):
     assert len(rows) == 2 and all(r["ppl"] > 0 for r in rows)
     ref = NGramModel.load(LM_SMALL)
     assert rows[0]["ppl"] == pytest.approx(ref.perplexity(["a", "b"])[3], rel=1e-6)
+
+
+def test_interpolate_cli(tmp_path):
+    from kenlm_rs_spark.lm.model import NGramModel
+    from kenlm_rs_spark.tools.interpolate import main as imain
+
+    en = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "lms", "en.arpa",
+    )
+    de = en.replace("en.arpa", "de.arpa")
+    if not (os.path.exists(en) and os.path.exists(de)):
+        pytest.skip("per-lang fixtures missing")
+    out = str(tmp_path / "merged.arpa")
+    imain(["--models", en, de, "--weights", "0.7", "0.3", "--output", out])
+    m = NGramModel.load(out)
+    assert m.order >= 2
+    total, tokens, oov, ppl = m.perplexity("the cat sat".split())
+    assert ppl > 1.0 and total < 0
