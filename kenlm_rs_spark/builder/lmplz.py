@@ -143,6 +143,11 @@ def with_prune_flags(
         if t <= 0:
             parts.append(level.withColumn("pruned", F.lit(False)))
             continue
+        if n == order:
+            # top order: the adjusted count IS the raw window count
+            # (CollapseStream marks entries by their own count) — no join
+            parts.append(level.withColumn("pruned", F.col("count") <= t))
+            continue
         act = _actual_counts(raw, n)
         level = level.join(act, "gram", "left")
         pruned = F.coalesce(F.col("actual"), F.lit(0)) <= t
