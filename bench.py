@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "image_metadata",
     "dedup_embedding",
     "events_sessionize",
+    "paragraph_stats",
 ]
 
 

@@ -28,6 +28,15 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    # executors must be able to unpickle kenlm_rs_spark UDF closures no
+    # matter the caller's cwd (the local analogue of spark-submit
+    # --py-files): ship the package's parent dir on the workers' PYTHONPATH
+    pkg_parent = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    worker_pp = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in worker_pp.split(os.pathsep):
+        worker_pp = pkg_parent + (os.pathsep + worker_pp if worker_pp else "")
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -40,6 +49,7 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.executorEnv.PYTHONPATH", worker_pp)
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
