@@ -311,6 +311,7 @@ def estimate_df(
     prune_thresholds: list[int] | None = None,
     limit_vocab: set[str] | list[str] | None = None,
     interpolate_unigrams: bool = True,
+    vocab_pad: int = 0,
 ) -> DataFrame:
     """Full estimation as a distributed plan: returns a DataFrame
     (n int, gram array<string>, p double, gamma double) — interpolated
@@ -342,7 +343,12 @@ def estimate_df(
     vocab_rows = adj.filter(
         (F.col("n") == 1) & (F.element_at("gram", 1) != "<s>")
     ).count()
-    uniform = 1.0 / max(vocab_rows + 1, 1)  # + <unk>
+    # --vocab_pad (lmplz_main.cc:99,151-152; pipeline.cc:281): pretend the
+    # vocabulary has at least vocab_pad types, reserving uniform mass for
+    # unseen words; requires unigram interpolation
+    if vocab_pad and not interpolate_unigrams:
+        raise ValueError("--vocab_pad requires --interpolate_unigrams")
+    uniform = 1.0 / max(vocab_pad, vocab_rows + 1, 1)  # + <unk>
     g_eps_row = gammas.filter(F.col("n_ctx") == 0).collect()
     g_eps = float(g_eps_row[0]["gamma"]) if g_eps_row else 0.0
 
@@ -408,12 +414,14 @@ def estimate_arpa_sections(
     prune_thresholds: list[int] | None = None,
     limit_vocab: set[str] | list[str] | None = None,
     interpolate_unigrams: bool = True,
+    vocab_pad: int = 0,
 ) -> ArpaSections:
     """Estimation -> ARPA sections (collects the final model-sized table;
     with pruning the collected table is vocabulary-shaped even at corpus
     scale — see estimate_df)."""
     rows = estimate_df(
-        df, text_col, order, prune_thresholds, limit_vocab, interpolate_unigrams
+        df, text_col, order, prune_thresholds, limit_vocab,
+        interpolate_unigrams, vocab_pad,
     ).collect()
     by_order: dict[int, list] = {}
     for r in rows:
@@ -516,10 +524,12 @@ def estimate_arpa(
     prune_thresholds: list[int] | None = None,
     limit_vocab: set[str] | list[str] | None = None,
     interpolate_unigrams: bool = True,
+    vocab_pad: int = 0,
 ) -> str:
     """Estimate and render the ARPA text."""
     sections = estimate_arpa_sections(
-        df, text_col, order, prune_thresholds, limit_vocab, interpolate_unigrams
+        df, text_col, order, prune_thresholds, limit_vocab,
+        interpolate_unigrams, vocab_pad,
     )
     buf = io.StringIO()
     write_arpa(sections, buf)

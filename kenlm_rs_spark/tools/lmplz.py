@@ -37,6 +37,9 @@ def main(argv=None):
     ap.add_argument("--limit_vocab_file", default=None,
                     help="whitespace-separated allowed vocabulary; n-grams "
                          "containing other words are pruned (lmplz flag)")
+    ap.add_argument("--vocab_pad", type=int, default=0,
+                    help="pad the vocabulary with <unk> mass to at least this "
+                         "many types (requires --interpolate_unigrams 1)")
     ap.add_argument("--interpolate_unigrams", type=int, default=1,
                     help="1 (default) interpolates unigrams; 0 gives the "
                          "interpolation mass to <unk> SRI-style (lmplz flag)")
@@ -73,6 +76,7 @@ def main(argv=None):
             df, text_col=args.text_col, order=args.order,
             prune_thresholds=prune, limit_vocab=limit_vocab,
             interpolate_unigrams=bool(args.interpolate_unigrams),
+            vocab_pad=args.vocab_pad,
         )
         with open(args.arpa + ".tmp", "w") as f:
             f.write(arpa)

@@ -210,3 +210,33 @@ def test_sri_unigram_mode(spark, docs):
     for dist in (p1, default):
         total = sum(v for k, v in dist.items() if k != "<s>")
         assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_vocab_pad(spark, docs):
+    """--vocab_pad: uniform base becomes 1/max(pad, types+1), reserving mass
+    for unseen words; padding shrinks interpolated unigram probs and the
+    retained unigram mass drops below 1 by exactly the phantom reservation."""
+    from kenlm_rs_spark.builder.lmplz import estimate_df
+
+    base = {
+        tuple(r["gram"])[0]: r["p"]
+        for r in estimate_df(docs, order=2).collect()
+        if r["n"] == 1
+    }
+    n_types = len(base) - 1  # excl <s>; incl <unk> and </s>
+    pad = n_types * 4
+    padded = {
+        tuple(r["gram"])[0]: r["p"]
+        for r in estimate_df(docs, order=2, vocab_pad=pad).collect()
+        if r["n"] == 1
+    }
+    for w in base:
+        if w != "<s>":
+            assert padded[w] < base[w], w
+    mass_base = sum(v for k, v in base.items() if k != "<s>")
+    mass_pad = sum(v for k, v in padded.items() if k != "<s>")
+    assert mass_base == pytest.approx(1.0, abs=1e-9)
+    assert mass_pad < 1.0 - 1e-6  # phantom types hold the rest
+
+    with pytest.raises(ValueError, match="interpolate_unigrams"):
+        estimate_df(docs, order=2, vocab_pad=10, interpolate_unigrams=False)
