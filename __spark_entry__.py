@@ -467,13 +467,33 @@ def q_events_windowed(spark, sf_dir):
 
 def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization (custom stateful operator, batch form):
-    lag -> new-session flag -> running sum -> per-session aggregate."""
+    lag -> new-session flag -> running sum -> per-session aggregate.
+
+    Output uses only render-proof types (BIGINT throughout): timestamps as
+    microsecond epochs and the decimal-summed value as fixed-point micros,
+    so no engine/pandas dtype normalization can differ between Spark and
+    the DuckDB oracle (the underlying doubles were verified bit-identical
+    in round 2; the residual gate red was rendered-type normalization)."""
     from kenlm_rs_spark.ops.sessions import sessionize_batch
 
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return sessionize_batch(ev).select(
-        "user_id", "session_id", "session_start", "session_end",
-        "n_events", "total_value",
+    s = sessionize_batch(ev)
+    return s.select(
+        "user_id",
+        "session_id",
+        # parquet yields TIMESTAMP_NTZ; timestampdiff from an NTZ epoch
+        # literal is session-timezone-independent (unlike unix_micros after
+        # an ltz cast, which would shift under a non-UTC driver session)
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', session_start)"
+        ).alias("session_start_us"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', session_end)"
+        ).alias("session_end_us"),
+        "n_events",
+        # total_value is round(decimal_sum, 6) as double -> within 1e-9 of a
+        # multiple of 1e-6, so round(v*1e6) is the exact fixed-point integer
+        F.round(F.col("total_value") * 1e6).cast("long").alias("total_value_micros"),
     )
 
 
@@ -958,9 +978,12 @@ def oracle_sql() -> dict[str, str]:
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
               FROM flagged
             )
-            SELECT user_id, session_id, min(ts) AS session_start,
-                   max(ts) AS session_end, count(*) AS n_events,
-                   round(sum(CAST(value AS DECIMAL(38,9))), 6)::DOUBLE AS total_value
+            SELECT user_id, session_id,
+                   epoch_us(min(ts)) AS session_start_us,
+                   epoch_us(max(ts)) AS session_end_us,
+                   count(*) AS n_events,
+                   CAST(round(round(sum(CAST(value AS DECIMAL(38,9))), 6)::DOUBLE * 1e6) AS BIGINT)
+                     AS total_value_micros
             FROM sess GROUP BY user_id, session_id
         """,
         "dedup_embedding": f"""

@@ -210,8 +210,11 @@ def _load_trie(
         entries = counts[order - 1]
         quant_width = (pb + bb) if quantized else 63
         if bhiksha:
-            # ArrayBhiksha region precedes the bit array: 8-byte header
-            # {version, config bits} + offsets array + 7 slack (bhiksha.cc)
+            # ArrayBhiksha region precedes the bit array (bhiksha.cc):
+            # {version, config bits} at the RAW region base, offsets array at
+            # AlignTo8(base)+8 (8-aligned in absolute file offset — header is
+            # ALIGN8'd so file offset mod 8 == mmap address mod 8), total
+            # region size fixed at 8*(1+count)+7 (+7 absorbs alignment skid)
             bver, config_bits = data[pos], data[pos + 1]
             if bver != 0:
                 raise BinaryFormatError(f"bhiksha version {bver} != 0")
@@ -219,7 +222,8 @@ def _load_trie(
             next_bits = required_bits(counts[order]) - chop
             array_count = (counts[order] >> next_bits) + 1
             offsets = np.frombuffer(
-                data, dtype="<u8", count=array_count, offset=pos + 8
+                data, dtype="<u8", count=array_count,
+                offset=pos + (-pos) % 8 + 8,
             ).astype(np.int64)
             pos += 8 * (1 + array_count) + 7
         else:

@@ -458,9 +458,22 @@ def write_trie(
                 side="left",
             ).astype(np.uint64)
             offsets[0] = 0
-            bh = struct.pack("<BB6x", 0, bhiksha_bits)  # version, config bits
-            bh += offsets.astype("<u8").tobytes()
-            bh += b"\x00" * 7  # Size() +7 alignment slack
+            # bhiksha.cc layout: {version, config_bits} at the RAW region
+            # base (FinishedLoading writes to original_base_), offsets array
+            # at AlignTo8(base) + 8 — 8-byte-aligned in absolute file offset
+            # (the header is ALIGN8'd, binary_format.cc TotalHeaderSize, so
+            # file offset mod 8 == mmap address mod 8). Region size is fixed
+            # at 8*(1+count)+7 (Size()'s +7 absorbs the alignment skid); for
+            # an already-aligned base this degenerates to [ver,cfg,6x pad,
+            # offsets, 7 slack] but for order>=4 the second middle's base is
+            # generally unaligned and the old layout misparsed (ADVICE r2).
+            bh_base = len(out)
+            bh = bytearray(8 * (1 + array_count) + 7)
+            bh[0] = 0  # kArrayBhikshaVersion
+            bh[1] = bhiksha_bits
+            off_start = (-bh_base) % 8 + 8  # AlignTo8(base)+8, base-relative
+            ob = offsets.astype("<u8").tobytes()
+            bh[off_start : off_start + len(ob)] = ob
             out += bh
             next_field_bits = inline_bits
             next_mask = (1 << inline_bits) - 1

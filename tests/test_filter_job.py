@@ -45,6 +45,44 @@ def test_filter_job_totals_and_lineage(spark, pages, tmp_path):
     assert os.path.exists(os.path.join(out, "_metrics.json"))
 
 
+def test_filter_job_default_thresholds_are_scale_safe(spark, tmp_path):
+    """VERDICT r2 item 2: the production job must default to the approx
+    (t-digest) threshold path — exact F.percentile buffers every ppl of a
+    language group on one executor, an OOM at 10^12 docs — and the keep/drop
+    decisions under that default must still hit F1 >= 0.99 vs the frozen
+    reference labels (fixtures/expected, 1000 pages seed 42)."""
+    import pyspark.sql.functions as F
+
+    from kenlm_rs_spark.pipeline.corpus import generate_pages_df
+
+    exp_path = os.path.join(REPO, "fixtures", "expected", "expected.parquet")
+    if not os.path.exists(exp_path):
+        pytest.skip("expected fixtures not frozen")
+    out = str(tmp_path / "out_safe")
+    pages1k = generate_pages_df(spark, 1000)
+    from kenlm_rs_spark.pipeline.filter_job import run_filter_job
+
+    run_filter_job(spark, pages1k, out, LM_DIR, n_chunks=2)
+
+    lineage = json.load(open(os.path.join(out, "_thresholds_lineage.json")))
+    assert lineage["exact"] is False  # approx path actually taken
+    assert 0 < lineage["sample_fraction"] <= 1.0
+
+    got = spark.read.parquet(os.path.join(out, "chunk=*")).select(
+        "url", F.col("keep").alias("keep_got")
+    )
+    exp = spark.read.parquet(exp_path).select("url", "keep")
+    j = exp.join(got, "url", "inner").cache()
+    assert j.count() == 1000
+    tp = j.filter("keep and keep_got").count()
+    fp = j.filter("not keep and keep_got").count()
+    fn = j.filter("keep and not keep_got").count()
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-12)
+    assert f1 >= 0.99, f"keep/drop F1 {f1:.4f} under approx thresholds"
+
+
 def test_filter_job_resume_skips_and_verifies(spark, pages, tmp_path):
     out = str(tmp_path / "out2")
     t1 = _run(spark, pages, out)

@@ -37,7 +37,10 @@ def normalize(df_pandas):
         if isinstance(v, float):
             if v == int(v) and abs(v) < 1e15:
                 return str(int(v))
-            return f"{v:.6g}"
+            # full repr: the driver's hash is bit-strict on rendered values,
+            # so the local mimic must not be coarser (%.6g once masked a
+            # 7th-digit divergence — VERDICT r2 "What's wrong" 1)
+            return repr(v)
         if isinstance(v, (np.floating,)):
             return cell(float(v))
         if isinstance(v, (np.integer,)):
