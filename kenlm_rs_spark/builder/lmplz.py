@@ -479,6 +479,8 @@ def estimate_arpa_to_path(
     order: int = 3,
     prune_thresholds: list[int] | None = None,
     limit_vocab: set[str] | list[str] | None = None,
+    interpolate_unigrams: bool = True,
+    vocab_pad: int = 0,
 ) -> dict[int, int]:
     """Driver-memory-bounded ARPA emit for models larger than driver RAM:
     each order is sorted DISTRIBUTEDLY (Spark range-partitioned sort on the
@@ -488,7 +490,10 @@ def estimate_arpa_to_path(
     per-order counts. Atomic: tmp + rename."""
     import os
 
-    model = estimate_df(df, text_col, order, prune_thresholds, limit_vocab).persist()
+    model = estimate_df(
+        df, text_col, order, prune_thresholds, limit_vocab,
+        interpolate_unigrams, vocab_pad,
+    ).persist()
     counts = {
         int(r["n"]): int(r["c"])
         for r in model.groupBy("n").agg(F.count("*").alias("c")).collect()

@@ -1,20 +1,83 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via mapInPandas (Arrow batches of bytes).
 
-The decode kernels are STUBS behind `deterministic_fake=True` (the container
-ships no image/audio libraries) — but the Spark-side contract is real and
-tested: schemas, batch shapes, partitioning, and the UDF signatures match
-what a production decode (PIL/torchaudio/ffmpeg) would slot into.
+Image METADATA extraction is REAL for PNG/GIF/JPEG/BMP — pure struct parsing
+of the public container formats (PNG IHDR, GIF logical screen descriptor,
+JPEG SOFn frame header, BMP BITMAPINFOHEADER), no image library needed. The
+pixel-decode / feature kernels remain STUBS with deterministic fakes (the
+container ships no image/audio libraries) — but the Spark-side contract is
+real and tested: schemas, batch shapes, partitioning, and the UDF signatures
+match what a production decode (PIL/torchaudio/ffmpeg) would slot into.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# PNG color type -> sample channels (PNG spec, IHDR "Colour type")
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_image_header(data: bytes) -> tuple[int, int, int, str] | None:
+    """REAL image metadata from container headers (width, height, channels,
+    format), or None when the bytes are not a recognized image. Public
+    formats only, parsed with struct.unpack:
+
+    - PNG: 8-byte signature, then the IHDR chunk (width/height u32 BE,
+      bit depth, color type).
+    - GIF: 'GIF87a'/'GIF89a' + logical screen descriptor (u16 LE dims).
+    - JPEG: SOI then marker scan to the first SOFn (C0/C1/C2) frame header
+      (height/width u16 BE, component count = channels).
+    - BMP: 'BM' + BITMAPINFOHEADER (i32 LE dims; height may be negative
+      for top-down rows).
+    """
+    if (
+        len(data) >= 26
+        and data[:8] == b"\x89PNG\r\n\x1a\n"
+        and data[12:16] == b"IHDR"
+    ):
+        w, h = struct.unpack(">II", data[16:24])
+        color_type = data[25]
+        return int(w), int(h), _PNG_CHANNELS.get(color_type, 0), "png"
+    if len(data) >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", data[6:10])
+        return int(w), int(h), 3, "gif"
+    if len(data) >= 4 and data[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(data):
+            if data[i] != 0xFF:
+                return None  # corrupt marker stream
+            marker = data[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers have no length field
+                continue
+            if i + 4 > len(data):
+                return None
+            seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2 frame header
+                if i + 10 > len(data):
+                    return None
+                h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                return int(w), int(h), int(data[i + 9]), "jpeg"
+            i += 2 + seg_len
+        return None
+    if len(data) >= 26 and data[:2] == b"BM":
+        # validate the DIB header size field so arbitrary text starting
+        # with "BM" is not misparsed (real constraint of the format)
+        dib = struct.unpack("<I", data[14:18])[0]
+        if dib in (12, 40, 52, 56, 64, 108, 124):
+            w, h = struct.unpack("<ii", data[18:26])
+            return int(w), abs(int(h)), 3, "bmp"
+    return None
 
 IMAGE_META_SCHEMA = (
     "doc_id long, width int, height int, channels int, format string, sha256 string"
@@ -35,18 +98,24 @@ def decode_image_stub(data: bytes) -> tuple[int, int, int, str]:
 
 def image_metadata(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
     """binary column -> typed metadata via mapInPandas (one Arrow batch of
-    raw bytes per call; no per-row JVM crossings)."""
+    raw bytes per call; no per-row JVM crossings). PNG/GIF/JPEG/BMP headers
+    are parsed for REAL (parse_image_header); unrecognized non-empty bytes
+    fall back to the deterministic fake so the plumbing stays total."""
 
     def gen(batches):
         for pdf in batches:
             rows = []
             for i, data in zip(pdf[id_col], pdf[bin_col]):
                 b = bytes(data) if data is not None else b""
-                try:
-                    w, h, c, fmt = decode_image_stub(b)
-                except NotImplementedError:
-                    w = h = c = 0
-                    fmt = "undecodable"
+                parsed = parse_image_header(b)
+                if parsed is not None:
+                    w, h, c, fmt = parsed
+                else:
+                    try:
+                        w, h, c, fmt = decode_image_stub(b)
+                    except NotImplementedError:
+                        w = h = c = 0
+                        fmt = "undecodable"
                 rows.append(
                     dict(doc_id=int(i), width=w, height=h, channels=c,
                          format=fmt, sha256=hashlib.sha256(b).hexdigest())

@@ -22,11 +22,20 @@ def split_paragraphs(
     sep: str = PARA_SPLIT,
 ) -> DataFrame:
     """(doc_id, para_idx, para) — one row per non-empty paragraph, original
-    order preserved in para_idx."""
+    order preserved in para_idx. ``sep`` is a LITERAL string (quoted with
+    \\Q...\\E before F.split, which otherwise treats it as a Java regex) so
+    split and the rejoin in paragraph_filter agree for separators containing
+    metacharacters like '.', '|' or '\\n\\n' (ADVICE r2)."""
     return (
         df.select(
             F.col(id_col).alias("doc_id"),
-            F.posexplode(F.split(F.col(text_col), sep)).alias("para_idx", "para"),
+            F.posexplode(
+                # java.util.regex.Pattern.quote semantics, incl. embedded \E
+                F.split(
+                    F.col(text_col),
+                    "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E",
+                )
+            ).alias("para_idx", "para"),
         )
         .filter(F.trim(F.col("para")) != "")
     )

@@ -62,6 +62,84 @@ def sessionize_batch(
     )
 
 
+def sessionize_batch_skew(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_sec: int = SESSION_GAP_SEC,
+    bucket_sec: int = 86400,
+) -> DataFrame:
+    """Skew-safe twin of sessionize_batch: identical output, but no window
+    ever partitions by the raw user alone, so one mega-user (100M events at
+    web scale) cannot serialize into a single task.
+
+    Two-phase shape:
+    1. events window-partition by (user, time-bucket) — per-task group size
+       is bounded by the user's events per ``bucket_sec``, not their total;
+    2. the only cross-bucket facts (previous bucket's last event epoch, and
+       the running count of session starts in prior buckets) come from
+       per-(user, bucket) aggregates — a table with one row per user-bucket —
+       so the per-user windows run over bucket counts, not event counts.
+
+    The residual caveat is burst skew: a user whose events all land in ONE
+    bucket still serializes that bucket; pick ``bucket_sec`` against the
+    expected per-user event density (the same lever as salt count in
+    ops/partitioning.py)."""
+    epoch = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    e = events.withColumn("_epoch", epoch).withColumn(
+        "_bkt", F.floor(F.col("_epoch") / F.lit(bucket_sec))
+    )
+    wb = Window.partitionBy(user_col, "_bkt").orderBy(ts_col)
+    wu = Window.partitionBy(user_col).orderBy("_bkt")
+
+    # one row per (user, bucket): last event epoch -> next bucket's carry-in
+    bstats = (
+        e.groupBy(user_col, "_bkt")
+        .agg(F.max("_epoch").alias("_last"))
+        .withColumn("_prev_last", F.lag("_last").over(wu))
+        .drop("_last")
+    )
+    e = e.join(bstats, [user_col, "_bkt"])
+    gap = F.col("_epoch") - F.coalesce(
+        F.lag("_epoch").over(wb), F.col("_prev_last")
+    )
+    e = e.withColumn(
+        "_flag", F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
+    ).withColumn("_local", F.sum("_flag").over(wb))
+
+    # running count of session starts in PRIOR buckets (per-user window over
+    # the bucket-aggregate table again)
+    btot = (
+        e.groupBy(user_col, "_bkt")
+        .agg(F.sum("_flag").alias("_bflags"))
+        .withColumn(
+            "_cum_prev",
+            F.coalesce(
+                F.sum("_bflags").over(
+                    wu.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(user_col, "_bkt", "_cum_prev")
+    )
+    e = e.join(btot, [user_col, "_bkt"]).withColumn(
+        "session_id", F.col("_local") + F.col("_cum_prev")
+    )
+    return (
+        e.groupBy(user_col, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col(value_col).cast("decimal(38,9)")), 6)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
 SESSION_STATE_SCHEMA = StructType(
     [
         StructField("session_start", LongType()),

@@ -70,7 +70,9 @@ def main(argv=None):
         counts = estimate_arpa_to_path(
             df, args.arpa, text_col=args.text_col, order=args.order,
             prune_thresholds=prune, limit_vocab=limit_vocab,
-        )  # streaming path keeps lmplz default unigram interpolation
+            interpolate_unigrams=bool(args.interpolate_unigrams),
+            vocab_pad=args.vocab_pad,
+        )
     else:
         arpa = estimate_arpa(
             df, text_col=args.text_col, order=args.order,

@@ -134,3 +134,62 @@ def test_interpolate_cli(tmp_path):
     assert m.order >= 2
     total, tokens, oov, ppl = m.perplexity("the cat sat".split())
     assert ppl > 1.0 and total < 0
+
+
+def test_count_ngrams_dump_counts_roundtrip(spark, tmp_path):
+    """count_ngrams writes the reference's counts/vocab file pair
+    (builder/count_ngrams_main.cc record format, null-delimited vocab);
+    dump_counts reconstitutes the exact text counts; suffix order held."""
+    import struct
+
+    from kenlm_rs_spark.tools.count_ngrams import main as cmain
+    from kenlm_rs_spark.tools.dump_counts import dump
+
+    txt = tmp_path / "corpus.txt"
+    txt.write_text("a b c\na b d\nb c\n")
+    counts = str(tmp_path / "o2.counts")
+    vocab = str(tmp_path / "o2.vocab")
+    cmain(["--order", "2", "--text", str(txt), "--counts", counts,
+           "--write_vocab_list", vocab])
+
+    import io as _io
+
+    buf = _io.StringIO()
+    n = dump(counts, vocab, 2, out=buf)
+    lines = buf.getvalue().strip().split("\n")
+    assert n == len(lines)
+    got = {tuple(l.split()[:-1]): int(l.split()[-1]) for l in lines}
+    # expected full order-2 windows over <s> ... </s> padded sentences
+    expect = {}
+    for sent in ("a b c", "a b d", "b c"):
+        toks = ["<s>"] + sent.split() + ["</s>"]
+        for i in range(len(toks) - 1):
+            g = (toks[i], toks[i + 1])
+            expect[g] = expect.get(g, 0) + 1
+    assert got == expect
+    # suffix order: records sorted by reversed gram
+    grams = [tuple(l.split()[:-1]) for l in lines]
+    assert grams == sorted(grams, key=lambda g: tuple(reversed(g)))
+    # vocab list is null-delimited and the binary records reference it
+    blob = open(vocab, "rb").read()
+    assert blob.endswith(b"\x00")
+    words = blob.decode().split("\x00")[:-1]
+    rec = struct.Struct("<2IQ")
+    first = rec.unpack(open(counts, "rb").read(rec.size))
+    assert words[first[0]] == grams[0][0] and words[first[1]] == grams[0][1]
+
+
+def test_dump_counts_rejects_bad_ids_and_truncation(tmp_path):
+    import struct
+
+    from kenlm_rs_spark.tools.dump_counts import dump
+
+    vocab = tmp_path / "v"
+    vocab.write_bytes(b"a\x00b\x00")
+    counts = tmp_path / "c"
+    counts.write_bytes(struct.pack("<2IQ", 0, 7, 3))  # id 7 >= vocab size 2
+    with pytest.raises(ValueError, match="Vocab ID 7"):
+        dump(str(counts), str(vocab), 2)
+    counts.write_bytes(struct.pack("<2IQ", 0, 1, 3) + b"\x01\x02")  # partial
+    with pytest.raises(ValueError, match="complete record"):
+        dump(str(counts), str(vocab), 2)

@@ -138,6 +138,17 @@ def test_streaming_arpa_emit_byte_identical(spark, docs, tmp_path):
         assert set(counts) == {1, 2, 3}
 
 
+def test_streaming_emit_forwards_vocab_pad_and_sri(spark, docs, tmp_path):
+    """--stream must honor --vocab_pad / --interpolate_unigrams exactly like
+    the collecting path (they were silently dropped before — ADVICE r2)."""
+    from kenlm_rs_spark.builder.lmplz import estimate_arpa, estimate_arpa_to_path
+
+    for kw in ({"vocab_pad": 5000}, {"interpolate_unigrams": False}):
+        p = str(tmp_path / "stream_kw.arpa")
+        estimate_arpa_to_path(docs, p, order=2, **kw)
+        assert open(p).read() == estimate_arpa(docs, order=2, **kw)
+
+
 def test_limit_vocab_pruning(spark, docs):
     """lmplz --limit_vocab_file semantics: n-grams containing out-of-vocab
     words are pruned at every order; reserved symbols always allowed; the

@@ -69,3 +69,24 @@ def test_split_paragraphs_positions(spark):
         (r["para_idx"], r["para"]) for r in split_paragraphs(docs).collect()
     )
     assert rows == [(0, "a"), (2, "b"), (3, "c")]
+
+
+def test_split_paragraphs_literal_metachar_sep(spark):
+    """sep is a LITERAL, not a regex: '.', '|' and '\\E' must split only on
+    the exact string (ADVICE r2 — F.split treats its arg as a Java regex)."""
+    from kenlm_rs_spark.ops.paragraphs import split_paragraphs
+
+    docs = spark.createDataFrame(
+        [(1, "one.two.three"), (2, "a|b|c"), (3, r"x\Ey\Ez")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["para_idx"]): r["para"]
+        for r in split_paragraphs(docs, sep=".").collect()
+        if r["doc_id"] == 1
+    }
+    assert got == {(1, 0): "one", (1, 1): "two", (1, 2): "three"}
+    got2 = [r["para"] for r in split_paragraphs(docs, sep="|").collect() if r["doc_id"] == 2]
+    assert sorted(got2) == ["a", "b", "c"]
+    got3 = [r["para"] for r in split_paragraphs(docs, sep="\\E").collect() if r["doc_id"] == 3]
+    assert sorted(got3) == ["x", "y", "z"]

@@ -135,3 +135,77 @@ def test_sessionize_stream_equals_batch_on_fixture(spark, tmp_path):
     for g, e in zip(got, expected):
         assert g[0] == e[0] and g[1] == e[1], (g, e)
         assert g[2] == pytest.approx(e[2], abs=2e-6), (g, e)
+
+
+def test_sessionize_skew_equals_batch_on_events_table(spark):
+    """The two-phase skew-safe sessionizer must be row-for-row identical to
+    the single-window form on the real events table."""
+    from kenlm_rs_spark.ops.sessions import sessionize_batch, sessionize_batch_skew
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = sessionize_batch(ev).orderBy("user_id", "session_id").collect()
+    b = sessionize_batch_skew(ev).orderBy("user_id", "session_id").collect()
+    assert len(a) == len(b) and len(a) > 0
+    for ra, rb in zip(a, b):
+        assert ra.asDict() == rb.asDict()
+
+
+def test_sessionize_skew_mega_user_and_boundaries(spark):
+    """Skewed fixture: one mega-user with sessions crossing bucket
+    boundaries, events exactly gap_sec apart (must NOT split: flag is
+    strictly >), and a session spanning several buckets. Output must equal
+    the single-window sessionizer exactly."""
+    import datetime as dt
+
+    from kenlm_rs_spark.ops.sessions import sessionize_batch, sessionize_batch_skew
+
+    base = dt.datetime(2025, 3, 1, 0, 0, 0)
+    rows = []
+    # mega-user 7: 4000 events every 29 minutes (continuous single session
+    # crossing many 1h buckets: gap 1740 < 1800)
+    for i in range(4000):
+        rows.append((7, base + dt.timedelta(minutes=29 * i), 1.0))
+    # then a break > gap and a burst inside one bucket
+    burst = base + dt.timedelta(minutes=29 * 4000 + 120)
+    for i in range(50):
+        rows.append((7, burst + dt.timedelta(seconds=i), 0.5))
+    # user 8: events exactly gap_sec (1800s) apart -> one session (strict >)
+    for i in range(5):
+        rows.append((8, base + dt.timedelta(seconds=1800 * i), 2.0))
+    # user 9: events gap_sec+1 apart -> all separate sessions
+    for i in range(5):
+        rows.append((9, base + dt.timedelta(seconds=1801 * i), 2.0))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+    # small buckets (1h) so the mega-user genuinely spans many buckets
+    a = sessionize_batch(ev).orderBy("user_id", "session_id").collect()
+    b = (
+        sessionize_batch_skew(ev, bucket_sec=3600)
+        .orderBy("user_id", "session_id")
+        .collect()
+    )
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    got = {(r["user_id"], r["session_id"]): r["n_events"] for r in b}
+    assert got[(7, 1)] == 4000 and got[(7, 2)] == 50
+    assert got[(8, 1)] == 5
+    assert {k: v for k, v in got.items() if k[0] == 9} == {
+        (9, s): 1 for s in range(1, 6)
+    }
+
+
+def test_sessionize_skew_plan_never_windows_on_raw_user(spark):
+    """Plan law: every Window over the EVENT-sized relation partitions by
+    (user, bucket); per-user-only windows appear solely over the per-bucket
+    aggregate table. Guarding the skew property structurally."""
+    from kenlm_rs_spark.ops.sessions import sessionize_batch_skew
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = sessionize_batch_skew(ev)._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if "_bkt" not in spec.split("ASC")[0]:
+            # user-only window: must be the bucket-aggregate side, which is
+            # ordered by _bkt (the event-side windows order by ts)
+            assert "_bkt" in spec, spec
