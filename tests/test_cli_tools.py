@@ -193,3 +193,59 @@ def test_dump_counts_rejects_bad_ids_and_truncation(tmp_path):
     counts.write_bytes(struct.pack("<2IQ", 0, 1, 3) + b"\x01\x02")  # partial
     with pytest.raises(ValueError, match="complete record"):
         dump(str(counts), str(vocab), 2)
+
+
+def test_fragment_cli_reference_goldens(tmp_path, capsys):
+    """fragment scores null-context terminal chains; goldens are the
+    reference's own left_test.cc Short/Charge expectations on test.arpa
+    (-1.206319-0.3561665 for 'more loin'; p(on)+bo(on)+p(more) for
+    'on more')."""
+    import io
+
+    from kenlm_rs_spark.tools.fragment import main as fmain
+
+    arpa = "/root/reference/src/cxx/lm/test.arpa"
+    if not os.path.exists(arpa):
+        pytest.skip("test.arpa missing")
+    out = io.StringIO()
+    fmain([arpa], stdin=io.StringIO("more loin\non more\n"), stdout=out)
+    got = [float(x) for x in out.getvalue().split()]
+    assert got[0] == pytest.approx(-1.206319 - 0.3561665, abs=1e-4)
+    assert got[1] == pytest.approx(-1.509559 - 0.4771212 - 1.206319, abs=1e-4)
+
+
+def test_phrase_table_vocab_cli(spark, tmp_path):
+    """Own words + targets of phrases whose source occurs in the sentence
+    (reference phrase_table_vocab_main.cc semantics, sorted rendering)."""
+    import io
+
+    from kenlm_rs_spark.tools.phrase_table_vocab import main as pmain
+
+    src = tmp_path / "src.txt"
+    src.write_text("the big cat\na dog\n")
+    table = (
+        "big cat ||| gros chat ||| 0.5\n"
+        "dog ||| chien ||| 0.2\n"
+        "the big cat too long to matter here really truly ||| x ||| 0.1\n"
+        "missing phrase ||| rien ||| 0.3\n"
+    )
+    out = io.StringIO()
+    pmain([str(src)], stdin=io.StringIO(table), stdout=out)
+    lines = out.getvalue().splitlines()
+    assert lines[0].split() == sorted(["the", "big", "cat", "gros", "chat"])
+    assert lines[1].split() == sorted(["a", "dog", "chien"])
+
+
+def test_cat_compressed_cli(tmp_path, capsysbinary):
+    import bz2
+    import gzip
+    import lzma
+
+    from kenlm_rs_spark.tools.cat_compressed import main as cmain
+
+    (tmp_path / "a.gz").write_bytes(gzip.compress(b"alpha\n"))
+    (tmp_path / "b.bz2").write_bytes(bz2.compress(b"beta\n"))
+    (tmp_path / "c.xz").write_bytes(lzma.compress(b"gamma\n"))
+    (tmp_path / "d.txt").write_bytes(b"delta\n")
+    cmain([str(tmp_path / n) for n in ("a.gz", "b.bz2", "c.xz", "d.txt")])
+    assert capsysbinary.readouterr().out == b"alpha\nbeta\ngamma\ndelta\n"
