@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "dedup_embedding",
     "events_sessionize",
     "paragraph_stats",
+    # added r03 (appended so r02 per-query timings stay comparable)
+    "pruned_model_probs",
+    "image_headers",
 ]
 
 

@@ -188,6 +188,26 @@ def test_committed_fixture_binaries_stay_loadable():
         assert got == pytest.approx(-3.81425, abs=5e-5), (name, got)
 
 
+def test_committed_order4_bhiksha_fixture_stays_loadable():
+    """Byte-stability for the r3 ALIGNED bhiksha layout at order 4 (the
+    second middle's region base is misaligned in this file, so a reader that
+    loses the AlignTo8 law fails here immediately)."""
+    import hashlib
+
+    from kenlm_rs_spark.lm.model import NGramModel
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "bins", "order4_bhiksha.bin",
+    )
+    blob = open(path, "rb").read()
+    assert hashlib.sha256(blob).hexdigest().startswith("e4cb35782535e2a2")
+    m = NGramModel.load(path)
+    assert m.counts == [14, 144, 533, 438]
+    got = m.score_sentence(["w1", "w2", "w3"], True, True)
+    assert got == pytest.approx(-9.7192001, abs=5e-5), got
+
+
 def test_written_probing_matches_reference_probing_layout(tmp_path):
     """The written probing file must be structurally interchangeable with a
     reference-produced probing file: same header law, same bucket-count law,

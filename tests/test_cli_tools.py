@@ -249,3 +249,27 @@ def test_cat_compressed_cli(tmp_path, capsysbinary):
     (tmp_path / "d.txt").write_bytes(b"delta\n")
     cmain([str(tmp_path / n) for n in ("a.gz", "b.bz2", "c.xz", "d.txt")])
     assert capsysbinary.readouterr().out == b"alpha\nbeta\ngamma\ndelta\n"
+
+
+def test_benchmark_cli_vocab_query_roundtrip(tmp_path):
+    """kenlm_benchmark twin: text -> id byte stream (vocab) -> scored chain
+    (query). The BOS-start / reset-at-EOS chain must equal the sum of
+    per-line score_sentence(bos=True, eos=True) in f32 accumulation."""
+    import io
+
+    import numpy as np
+
+    from kenlm_rs_spark.lm.model import NGramModel
+    from kenlm_rs_spark.tools.benchmark import convert_to_bytes, query_bytes
+
+    m = NGramModel.load(LM_SMALL)
+    lines = ["a b c", "the cat", "zzz unseen words"]
+    buf = io.BytesIO()
+    n = convert_to_bytes(m, lines, buf, width_bits=16)
+    assert n == sum(len(l.split()) + 1 for l in lines)
+    total, n2 = query_bytes(m, buf.getvalue(), 16)
+    assert n2 == n
+    expect = np.float32(0.0)
+    for l in lines:
+        expect += np.float32(m.score_sentence(l.split(), True, True))
+    assert total == pytest.approx(float(expect), abs=2e-4)
