@@ -68,11 +68,15 @@ def minhash_signatures(
     text_col: str = "text",
     shingle_n: int = 3,
     num_hashes: int = 16,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """K minhashes per doc. hash_i(s) = md5(i || ':' || s); the minimum is
     taken lexicographically over the fixed-width hex digest — a valid uniform
-    permutation surrogate that is bit-identical in any engine with md5."""
-    sh = shingle_table(df, id_col, text_col, shingle_n)
+    permutation surrogate that is bit-identical in any engine with md5.
+
+    ``shingles`` lets a composed pipeline (lsh_jaccard_dedup) pass a cached
+    shingle table instead of re-tokenizing."""
+    sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, shingle_n)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -87,11 +91,12 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs agreeing on any full band of
     minhashes. Returns (band, id_a, id_b) distinct pairs with id_a < id_b."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, shingle_n, num_hashes)
+    sigs = minhash_signatures(df, id_col, text_col, shingle_n, num_hashes, shingles=shingles)
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -136,9 +141,17 @@ def lsh_jaccard_dedup(
     inverted-index self-join of ``ngram_jaccard_pairs`` never materializes.
     Returns (id_a, id_b, common, jaccard) for pairs at or above ``threshold``
     (pairs whose true Jaccard clears the threshold but that no band catches
-    are the LSH recall trade-off, tunable via bands/rows-per-band)."""
-    cand = minhash_lsh_pairs(df, id_col, text_col, shingle_n, num_hashes, bands)
-    sh = shingle_table(df, id_col, text_col, shingle_n)
+    are the LSH recall trade-off, tunable via bands/rows-per-band).
+
+    The shingle table is computed ONCE and cached — it feeds the minhash
+    signatures and both sides of the verify join; without the cache the
+    tokenize+shingle subtree (the dominant scan cost) would execute three
+    times, since Catalyst does not reuse non-identical exchanges
+    (.explain-verified, BENCH/BASELINE.md r3)."""
+    sh = shingle_table(df, id_col, text_col, shingle_n).cache()
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, shingle_n, num_hashes, bands, shingles=sh
+    )
     a = sh.select(
         F.col("doc_id").alias("id_a"),
         F.col("set_size").alias("size_a"),
@@ -177,13 +190,18 @@ def ngram_jaccard_pairs(
 
     ``max_shingle_freq`` drops stop-shingles before the join — the fan-out
     cap that keeps the candidate count near-linear at corpus scale (a shingle
-    in f docs contributes f^2 pairs)."""
-    sh = shingle_table(df, id_col, text_col, shingle_n)
+    in f docs contributes f^2 pairs).
+
+    The (freq-capped) shingle table is cached: it feeds the frequency
+    aggregate and both sides of the self-join, and Catalyst does not reuse
+    the tokenize+shingle subtree across them (4 parquet scans without the
+    cache, .explain-verified)."""
+    sh = shingle_table(df, id_col, text_col, shingle_n).cache()
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     sh = sh.join(
         F.broadcast(freq.filter(F.col("df") <= max_shingle_freq).select("shingle")),
         "shingle",
-    )
+    ).cache()
     a = sh.alias("a")
     b = sh.alias("b")
     common = (

@@ -175,9 +175,13 @@ def embedding_near_dup_pairs(
             for t in range(n_tables)
         ]
     )
+    # cached: the hyperplane signatures (T x b interpreted dot products per
+    # vector, the dominant cost) feed BOTH sides of the self-join, and
+    # Catalyst does not reuse the subtree across them (.explain: 4 scans
+    # without the cache)
     exploded = base.withColumn("ts", F.explode(sigs)).select(
         "vid", "vec", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig")
-    )
+    ).cache()
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(
