@@ -413,6 +413,27 @@ def q_image_metadata(spark, sf_dir):
     return image_metadata(docs)
 
 
+def q_bucket_resample(spark, sf_dir):
+    """CCNet head/middle/tail resampling: deterministic md5-keyed per-bucket
+    sampling (pipeline/quality.bucket_resample) — u(doc) = first 8 md5 hex
+    digits of 'seed:doc_id' / 2^32, kept iff u < weight[bucket]. The bucket
+    here is a synthetic doc_id%3 assignment so the row isolates the sampling
+    math; the real-bucket composition is pytest-covered."""
+    from kenlm_rs_spark.pipeline.quality import bucket_resample
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    b = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    out = bucket_resample(
+        docs.withColumn("bucket", b),
+        {"head": 0.9, "middle": 0.5, "tail": 0.1},
+        key_col="doc_id",
+    )
+    return out.select("doc_id", "bucket", F.round("sample_u", 9).alias("sample_u"))
+
+
 def q_image_headers(spark, sf_dir):
     """REAL image metadata: per doc_id a real container payload (valid PNG /
     GIF / structurally valid JPEG, built by ops/imagegen from pure arithmetic
@@ -604,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_jaccard": q_lsh_jaccard,
         "image_metadata": q_image_metadata,
         "image_headers": q_image_headers,
+        "bucket_resample": q_bucket_resample,
         "paragraph_stats": q_paragraph_stats,
         "union_filter": q_union_filter,
         "suffix_sort_topk": q_suffix_sort_topk,
@@ -1086,6 +1108,19 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(string_split_regex(para, '[\\x00\\t\\n\\r ]+'), y -> y != '')) AS n_tokens,
                    length(para) AS n_chars
             FROM u WHERE trim(para) != ''
+        """,
+        "bucket_resample": """
+            WITH b AS (
+              SELECT doc_id,
+                CASE doc_id % 3 WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+                ('0x' || substr(md5('ccnet:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  / 4294967296.0 AS u
+              FROM documents
+            )
+            SELECT doc_id, bucket, round(u, 9) AS sample_u FROM b
+            WHERE u < CASE bucket WHEN 'head' THEN 0.9
+                                  WHEN 'middle' THEN 0.5 ELSE 0.1 END
         """,
         # dims/format of the synthesized real image payloads are pure
         # arithmetic of doc_id (ops/imagegen.synth_image_bytes) — the oracle

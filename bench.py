@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     # added r03 (appended so r02 per-query timings stay comparable)
     "pruned_model_probs",
     "image_headers",
+    "bucket_resample",
 ]
 
 

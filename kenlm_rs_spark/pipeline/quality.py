@@ -61,6 +61,36 @@ def decide(
     )
 
 
+def bucket_resample(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    bucket: str = "bucket",
+    seed: str = "ccnet",
+) -> DataFrame:
+    """CCNet-style per-bucket resampling (the head/middle/tail sampling step
+    of the CCNet pipeline: keep head documents at a higher rate than middle/
+    tail instead of a hard drop). DETERMINISTIC: the keep decision is a pure
+    function of (seed, key) — u(key) = first 8 md5 hex digits of
+    ``seed:key`` scaled to [0,1), kept iff u < weight[bucket] — so reruns,
+    resumes, and a SQL oracle reproduce the exact sample; no RNG state, no
+    per-partition seed coupling, trivially engine-portable (md5 everywhere).
+
+    Unknown buckets keep weight 0.0. Returns the input columns plus
+    ``sample_u`` for auditability, filtered to the kept rows."""
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))), 1, 8), 16, 10)
+        .cast("double") / float(1 << 32)
+    )
+    w = F.lit(0.0)
+    for name, weight in sorted(weights.items()):
+        w = F.when(F.col(bucket) == name, float(weight)).otherwise(w)
+    return (
+        df.withColumn("sample_u", u)
+        .filter(F.col("sample_u") < w)
+    )
+
+
 def ppl_thresholds(
     df: DataFrame, lang_col: str = "lang_pred", ppl_col: str = "ppl",
     probs=(1.0 / 3.0, 2.0 / 3.0), rel_err: float = 0.01,

@@ -114,3 +114,35 @@ def test_filter_job_resume_skips_and_verifies(spark, pages, tmp_path):
     # the marker was rewritten with the true counts
     m2 = json.load(open(marker))
     assert m2["docs"] == m["docs"] and m2["kept"] == m["kept"]
+
+
+def test_bucket_resample_deterministic_and_calibrated(spark, pages):
+    """CCNet resampling over REAL pipeline buckets: decisions are a pure
+    function of (seed, url) — identical across reruns and partitionings —
+    and per-bucket keep rates track the weights on a big synthetic sample."""
+    import pyspark.sql.functions as F
+
+    from kenlm_rs_spark.pipeline.corpus import generate_pages_df
+    from kenlm_rs_spark.pipeline.quality import bucket_resample
+
+    n = 6000
+    big = generate_pages_df(spark, n).select("url")
+    # synthetic bucket from the url hash (uniform thirds) — exercises the
+    # operator; the ppl-bucket composition runs in the driver-gate queries
+    b = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        (F.pmod(F.xxhash64("url"), F.lit(3)) + 1).cast("int"),
+    )
+    df = big.withColumn("bucket", b)
+    weights = {"head": 0.9, "middle": 0.5, "tail": 0.1}
+    kept1 = bucket_resample(df, weights, key_col="url").cache()
+    kept2 = bucket_resample(df.repartition(17), weights, key_col="url")
+    # determinism under repartitioning
+    assert kept1.count() == kept2.count()
+    assert kept1.join(kept2.select("url"), "url", "left_anti").count() == 0
+    # calibration: empirical keep rate within 5pp of the weight per bucket
+    tot = {r["bucket"]: r["c"] for r in df.groupBy("bucket").agg(F.count("*").alias("c")).collect()}
+    kept = {r["bucket"]: r["c"] for r in kept1.groupBy("bucket").agg(F.count("*").alias("c")).collect()}
+    for name, w in weights.items():
+        rate = kept.get(name, 0) / tot[name]
+        assert abs(rate - w) < 0.05, (name, rate, w)
