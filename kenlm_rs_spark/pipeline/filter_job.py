@@ -152,14 +152,21 @@ def run_filter_job(
         if os.path.exists(marker):
             # markers are written atomically (tmp + rename) AFTER the chunk
             # parquet commit, but verify anyway: a marker whose doc count
-            # does not match the parquet row count means a corrupt resume
-            # state — recompute the chunk rather than trust it
+            # does not match what is on disk means a corrupt resume state —
+            # recompute the chunk rather than trust it. Verification reads
+            # parquet FOOTERS only (no Spark job): total footer rows must
+            # equal the marker's doc count, and when the marker carries a
+            # manifest the file inventory must match it too.
             m = json.load(open(marker))
             try:
-                n_written = spark.read.parquet(path).count()
+                on_disk = _parquet_manifest(path)
+                n_written = sum(f["rows"] for f in on_disk)
             except Exception:
-                n_written = -1
-            if n_written == m.get("docs"):
+                on_disk, n_written = None, -1
+            manifest_ok = True
+            if m.get("manifest") is not None:
+                manifest_ok = on_disk == m["manifest"]
+            if n_written == m.get("docs") and manifest_ok:
                 _merge(totals, m)
                 continue
             os.remove(marker)
@@ -199,6 +206,10 @@ def run_filter_job(
             "docs": int(agg["docs"]),
             "kept": int(agg["kept"] or 0),
             "by_reason": reasons,
+            # snapshot manifest (the Iceberg-manifest analogue): per-file
+            # byte size + footer row count, so a resume/audit can verify the
+            # chunk without a Spark scan and a compactor can plan from it
+            "manifest": _parquet_manifest(path),
             "versions": {
                 "job": JOB_VERSION,
                 "extractor": EXTRACTOR_VERSION,
@@ -212,6 +223,26 @@ def run_filter_job(
     totals["wall_sec"] = round(time.time() - t_start, 2)
     _write_json_atomic(os.path.join(output_dir, "_metrics.json"), totals)
     return totals
+
+
+def _parquet_manifest(chunk_dir: str) -> list[dict]:
+    """Per-file inventory of a committed chunk: name, bytes, rows (from the
+    parquet footer only — no data scan)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for fn in sorted(os.listdir(chunk_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        full = os.path.join(chunk_dir, fn)
+        out.append(
+            {
+                "file": fn,
+                "bytes": os.path.getsize(full),
+                "rows": pq.ParquetFile(full).metadata.num_rows,
+            }
+        )
+    return out
 
 
 def _write_json_atomic(path: str, obj) -> None:

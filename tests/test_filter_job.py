@@ -146,3 +146,25 @@ def test_bucket_resample_deterministic_and_calibrated(spark, pages):
     for name, w in weights.items():
         rate = kept.get(name, 0) / tot[name]
         assert abs(rate - w) < 0.05, (name, rate, w)
+
+
+def test_chunk_markers_carry_snapshot_manifest(spark, pages, tmp_path):
+    """Each chunk marker carries the Iceberg-manifest analogue: per-file
+    bytes + footer row counts that sum to the chunk doc count; tampering
+    with a data file (not just the marker) forces recomputation."""
+    out = str(tmp_path / "out_manifest")
+    t1 = _run(spark, pages, out)
+    m = json.load(open(os.path.join(out, "_chunk_0.json")))
+    assert m["manifest"], "manifest missing"
+    assert sum(f["rows"] for f in m["manifest"]) == m["docs"]
+    for f in m["manifest"]:
+        full = os.path.join(out, "chunk=0", f["file"])
+        assert os.path.getsize(full) == f["bytes"]
+
+    # corrupt a data file: footer-level resume verification must catch it
+    victim = os.path.join(out, "chunk=0", m["manifest"][0]["file"])
+    os.remove(victim)
+    t2 = _run(spark, pages, out)
+    assert (t2["docs"], t2["kept"]) == (t1["docs"], t1["kept"])
+    m2 = json.load(open(os.path.join(out, "_chunk_0.json")))
+    assert sum(f["rows"] for f in m2["manifest"]) == m2["docs"]
