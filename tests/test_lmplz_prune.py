@@ -251,3 +251,91 @@ def test_vocab_pad(spark, docs):
 
     with pytest.raises(ValueError, match="interpolate_unigrams"):
         estimate_df(docs, order=2, vocab_pad=10, interpolate_unigrams=False)
+
+
+def test_order5_pruned_estimation_normalizes_and_scores(spark, docs):
+    """Production-shaped order (lmplz default territory is 3-6): order-5
+    estimation with pruning must keep every surviving conditional
+    distribution normalized (pruned-mass-in-gamma at four context depths)
+    and produce a loadable, scorable ARPA."""
+    import io
+
+    from kenlm_rs_spark.builder.lmplz import estimate_arpa, estimate_df
+    from kenlm_rs_spark.lm.arpa import read_arpa
+    from kenlm_rs_spark.lm.model import NGramModel
+
+    rows = estimate_df(
+        docs, order=5, prune_thresholds=[0, 0, 1, 1, 1]
+    ).collect()
+    ns = {r["n"] for r in rows}
+    assert ns == {1, 2, 3, 4, 5}
+
+    p = {tuple(r["gram"]): r["p"] for r in rows}
+    gamma = {
+        tuple(r["gram"]): r["gamma"] for r in rows if r["gamma"] is not None
+    }
+    by_ctx: dict[tuple, list[tuple]] = {}
+    for r in rows:
+        g = tuple(r["gram"])
+        if len(g) >= 2:
+            by_ctx.setdefault(g[:-1], []).append(g)
+    checked_depth = {1: 0, 2: 0, 3: 0, 4: 0}
+    for c, children in by_ctx.items():
+        if c not in gamma or (c[0] == "<s>" and len(c) == 1):
+            continue
+        mass = sum(p[g] for g in children)
+        lower = sum(p[g[1:]] for g in children)
+        total = mass + gamma[c] * (1.0 - lower)
+        assert total == pytest.approx(1.0, abs=1e-9), (c, total)
+        checked_depth[len(c)] += 1
+    # normalization must actually be exercised at every context depth
+    for depth, n_checked in checked_depth.items():
+        assert n_checked > 0, f"no contexts checked at depth {depth}"
+
+    arpa = estimate_arpa(docs, order=5, prune_thresholds=[0, 0, 1, 1, 1])
+    m = NGramModel.from_arpa(read_arpa(io.StringIO(arpa)))
+    assert m.order == 5
+    total, tokens, oov, ppl = m.perplexity("data table hash merge group".split())
+    assert tokens == 6 and ppl > 1.0 and total < 0
+
+
+def test_order5_estimated_model_binary_roundtrip(spark, docs, tmp_path):
+    """The full production chain at order 5: Spark estimation -> ARPA ->
+    KenLM-format binaries (probing, trie, bhiksha array-trie) -> loader ->
+    scores bit-identical to the from_arpa model."""
+    import io
+
+    import numpy as np
+
+    from kenlm_rs_spark.builder.lmplz import estimate_arpa
+    from kenlm_rs_spark.lm.arpa import read_arpa
+    from kenlm_rs_spark.lm.binwrite import write_probing, write_trie
+    from kenlm_rs_spark.lm.model import NGramModel
+    from kenlm_rs_spark.lm.score import score_texts
+
+    arpa = estimate_arpa(docs, order=5, prune_thresholds=[0, 0, 1, 1, 1])
+    ref = NGramModel.from_arpa(read_arpa(io.StringIO(arpa)))
+    texts = [
+        "data table hash merge group",
+        "the quick brown fox",
+        "completely zzz unseen tokens",
+        "",
+    ]
+    expect = score_texts(ref, texts)["log10_prob"]
+    outs = []
+    for name, kw in (
+        ("p.bin", dict(writer="probing")),
+        ("t.bin", dict(writer="trie")),
+        ("a.bin", dict(writer="trie", bhiksha_bits=64)),
+    ):
+        path = str(tmp_path / name)
+        sections = read_arpa(io.StringIO(arpa))
+        if kw["writer"] == "probing":
+            write_probing(sections, path)
+        else:
+            write_trie(sections, path, bhiksha_bits=kw.get("bhiksha_bits"))
+        got = score_texts(NGramModel.load(path), texts)["log10_prob"]
+        assert np.array_equal(got, expect), name
+        outs.append(path)
+    # bhiksha file is never larger than the plain trie (pointer compression)
+    assert os.path.getsize(outs[2]) <= os.path.getsize(outs[1]) + 64
