@@ -570,6 +570,30 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_events_sessionize_skew(spark, sf_dir):
+    """The skew-safe two-phase sessionizer (ops/sessions.sessionize_batch_skew
+    — event windows partition by (user, time-bucket), per-user state from
+    bucket aggregates) must match the same DuckDB oracle as the single-window
+    form, proving the mega-user-safe plan is semantics-preserving under the
+    gate's hash check, not just in pytest."""
+    from kenlm_rs_spark.ops.sessions import sessionize_batch_skew
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    s = sessionize_batch_skew(ev, bucket_sec=21600)
+    return s.select(
+        "user_id",
+        "session_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', session_start)"
+        ).alias("session_start_us"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', session_end)"
+        ).alias("session_end_us"),
+        "n_events",
+        F.round(F.col("total_value") * 1e6).cast("long").alias("total_value_micros"),
+    )
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs via banded multi-table
     hyperplane LSH (T=4 tables x b=8 planes) + exact-cosine verify."""
@@ -633,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
+        "events_sessionize_skew": q_events_sessionize_skew,
         "dedup_embedding": q_dedup_embedding,
         "cosine_topk": q_cosine_topk,
         "lsh_ann": q_lsh_ann,
@@ -1191,6 +1216,30 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "events_sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT user_id, ts, value,
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id,
+                   epoch_us(min(ts)) AS session_start_us,
+                   epoch_us(max(ts)) AS session_end_us,
+                   count(*) AS n_events,
+                   CAST(round(round(sum(CAST(value AS DECIMAL(38,9))), 6)::DOUBLE * 1e6) AS BIGINT)
+                     AS total_value_micros
+            FROM sess GROUP BY user_id, session_id
+        """,
+        # the skew-safe two-phase sessionizer must reproduce the SAME oracle
+        # (identical semantics, different physical plan)
+        "events_sessionize_skew": """
             WITH flagged AS (
               SELECT user_id, ts, value,
                 CASE WHEN lag(ts) OVER w IS NULL

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "pruned_model_probs",
     "image_headers",
     "bucket_resample",
+    "events_sessionize_skew",
 ]
 
 
