@@ -413,6 +413,18 @@ def q_image_metadata(spark, sf_dir):
     return image_metadata(docs)
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet corpus-wide paragraph dedup (first (doc_id, para_idx) wins) +
+    document reassembly; text_clean is md5'd so the gate row stays narrow."""
+    from kenlm_rs_spark.ops.paragraphs import paragraph_dedup
+
+    docs = _docs(spark, sf_dir)
+    out = paragraph_dedup(docs, sep=" the ")
+    return out.select(
+        "doc_id", "n_paras", "n_kept", F.md5("text_clean").alias("clean_md5")
+    )
+
+
 def q_bucket_resample(spark, sf_dir):
     """CCNet head/middle/tail resampling: deterministic md5-keyed per-bucket
     sampling (pipeline/quality.bucket_resample) — u(doc) = first 8 md5 hex
@@ -650,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_metadata": q_image_metadata,
         "image_headers": q_image_headers,
         "bucket_resample": q_bucket_resample,
+        "paragraph_dedup": q_paragraph_dedup,
         "paragraph_stats": q_paragraph_stats,
         "union_filter": q_union_filter,
         "suffix_sort_topk": q_suffix_sort_topk,
@@ -1133,6 +1146,34 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(string_split_regex(para, '[\\x00\\t\\n\\r ]+'), y -> y != '')) AS n_tokens,
                    length(para) AS n_chars
             FROM u WHERE trim(para) != ''
+        """,
+        # corpus-wide paragraph dedup: first (doc_id, para_idx) per md5(para)
+        # survives; docs reassembled from survivors in original order
+        "paragraph_dedup": """
+            WITH ps AS (
+              SELECT doc_id, string_split(text, ' the ') AS parts
+              FROM documents
+            ), u AS (
+              SELECT doc_id,
+                     unnest(range(len(parts))) AS para_idx,
+                     unnest(parts) AS para
+              FROM ps
+            ), p AS (
+              SELECT doc_id, para_idx, para, md5(para) AS h
+              FROM u WHERE trim(para) != ''
+            ), firsts AS (
+              SELECT h, min(struct_pack(doc_id := doc_id, para_idx := para_idx)) AS f
+              FROM p GROUP BY h
+            ), k AS (
+              SELECT p.doc_id, p.para_idx, p.para,
+                     (p.doc_id = firsts.f.doc_id AND p.para_idx = firsts.f.para_idx) AS keep
+              FROM p JOIN firsts USING (h)
+            )
+            SELECT doc_id, count(*) AS n_paras,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   md5(coalesce(string_agg(CASE WHEN keep THEN para END, ' the '
+                                  ORDER BY para_idx), '')) AS clean_md5
+            FROM k GROUP BY doc_id
         """,
         "bucket_resample": """
             WITH b AS (

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "image_headers",
     "bucket_resample",
     "events_sessionize_skew",
+    "paragraph_dedup",
 ]
 
 

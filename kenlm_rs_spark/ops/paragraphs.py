@@ -41,6 +41,56 @@ def split_paragraphs(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = PARA_SPLIT,
+) -> DataFrame:
+    """CCNet's actual dedup step: drop DUPLICATE PARAGRAPHS across the whole
+    corpus (first occurrence wins, ordered by (doc_id, para_idx)), then
+    reassemble each document from its surviving paragraphs in original
+    order. Documents whose every paragraph is a duplicate come out with
+    empty text_clean (downstream length rules drop them) — exactly how CCNet
+    removes boilerplate that repeats across a crawl.
+
+    Scale shape: one shuffle on md5(paragraph) (uniform key — no skew even
+    when one boilerplate line repeats 10^9 times, since the window only
+    needs the per-hash MINIMUM, an agg+join, not a full sort); reassembly
+    is one groupBy(doc_id). Returns (doc_id, n_paras, n_kept, text_clean)."""
+    paras = split_paragraphs(df, id_col, text_col, sep).withColumn(
+        "h", F.md5(F.col("para"))
+    )
+    # first occurrence per hash = min struct(doc_id, para_idx) — an
+    # aggregate, not a window sort, so a mega-duplicate hash costs O(n)
+    firsts = paras.groupBy("h").agg(
+        F.min(F.struct("doc_id", "para_idx")).alias("first")
+    )
+    kept = paras.join(firsts, "h").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("para_idx") == F.col("first.para_idx")),
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.col("keep").cast("int")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("para_idx", "para"))
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("text_clean"),
+        )
+    )
+
+
 def paragraph_filter(
     df: DataFrame,
     bc_model,

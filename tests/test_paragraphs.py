@@ -90,3 +90,29 @@ def test_split_paragraphs_literal_metachar_sep(spark):
     assert sorted(got2) == ["a", "b", "c"]
     got3 = [r["para"] for r in split_paragraphs(docs, sep="\\E").collect() if r["doc_id"] == 3]
     assert sorted(got3) == ["x", "y", "z"]
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    """CCNet dedup law: a paragraph survives only at its first
+    (doc_id, para_idx) across the corpus; docs reassemble from survivors;
+    all-duplicate docs come out empty."""
+    from kenlm_rs_spark.ops.paragraphs import paragraph_dedup
+
+    BOILER = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique one\n{BOILER}\nunique two"),
+            (2, f"{BOILER}\nfresh content"),
+            (3, BOILER),                       # all duplicates -> empty
+            (4, "repeated\nrepeated\nother"),  # within-doc dup
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert got[1]["text_clean"] == f"unique one\n{BOILER}\nunique two"
+    assert (got[1]["n_paras"], got[1]["n_kept"]) == (3, 3)
+    assert got[2]["text_clean"] == "fresh content"
+    assert (got[2]["n_paras"], got[2]["n_kept"]) == (2, 1)
+    assert got[3]["text_clean"] == "" and got[3]["n_kept"] == 0
+    assert got[4]["text_clean"] == "repeated\nother"
+    assert (got[4]["n_paras"], got[4]["n_kept"]) == (3, 2)
