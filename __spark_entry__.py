@@ -413,6 +413,18 @@ def q_image_metadata(spark, sf_dir):
     return image_metadata(docs)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: the 'eval set' is the deterministic
+    doc_id % 97 == 0 slice of the corpus; every doc is flagged with how many
+    distinct benchmark trigrams it contains (broadcast bench-gram join —
+    the corpus side never shuffles)."""
+    from kenlm_rs_spark.ops.decontam import contamination_flags
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_flags(docs, bench, n=3)
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """CCNet corpus-wide paragraph dedup (first (doc_id, para_idx) wins) +
     document reassembly; text_clean is md5'd so the gate row stays narrow."""
@@ -663,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_headers": q_image_headers,
         "bucket_resample": q_bucket_resample,
         "paragraph_dedup": q_paragraph_dedup,
+        "decontaminate": q_decontaminate,
         "paragraph_stats": q_paragraph_stats,
         "union_filter": q_union_filter,
         "suffix_sort_topk": q_suffix_sort_topk,
@@ -1146,6 +1159,26 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(string_split_regex(para, '[\\x00\\t\\n\\r ]+'), y -> y != '')) AS n_tokens,
                    length(para) AS n_chars
             FROM u WHERE trim(para) != ''
+        """,
+        "decontaminate": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), bench AS (
+              SELECT DISTINCT gram FROM (
+                SELECT unnest({_GRAMS3}) AS gram FROM t WHERE doc_id % 97 = 0
+              )
+            ), dg AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id, unnest({_GRAMS3}) AS gram FROM t
+              )
+            ), m AS (
+              SELECT doc_id, count(*) AS n_matched
+              FROM dg JOIN bench USING (gram) GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(m.n_matched, 0) AS n_matched,
+                   coalesce(m.n_matched, 0) >= 1 AS contaminated
+            FROM t LEFT JOIN m USING (doc_id)
         """,
         # corpus-wide paragraph dedup: first (doc_id, para_idx) per md5(para)
         # survives; docs reassembled from survivors in original order

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "bucket_resample",
     "events_sessionize_skew",
     "paragraph_dedup",
+    "decontaminate",
 ]
 
 
