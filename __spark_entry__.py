@@ -413,6 +413,26 @@ def q_image_metadata(spark, sf_dir):
     return image_metadata(docs)
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021 A1.1) — the second standard
+    heuristic rule set next to the CCNet rules; features + first-failing-rule
+    decision, all pure Spark SQL expressions."""
+    from kenlm_rs_spark.ops.gopher import gopher_decide, gopher_features
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = gopher_decide(gopher_features(docs))
+    return out.select(
+        "doc_id",
+        "g_n_words",
+        F.round("g_mean_word_len", 9).alias("g_mean_word_len"),
+        F.round("g_symbol_word_ratio", 9).alias("g_symbol_word_ratio"),
+        F.round("g_alpha_word_frac", 9).alias("g_alpha_word_frac"),
+        "g_n_stopwords",
+        "gopher_keep",
+        "gopher_drop_reason",
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: the 'eval set' is the deterministic
     doc_id % 97 == 0 slice of the corpus; every doc is flagged with how many
@@ -676,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_resample": q_bucket_resample,
         "paragraph_dedup": q_paragraph_dedup,
         "decontaminate": q_decontaminate,
+        "gopher_rules": q_gopher_rules,
         "paragraph_stats": q_paragraph_stats,
         "union_filter": q_union_filter,
         "suffix_sort_topk": q_suffix_sort_topk,
@@ -1159,6 +1180,54 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(string_split_regex(para, '[\\x00\\t\\n\\r ]+'), y -> y != '')) AS n_tokens,
                    length(para) AS n_chars
             FROM u WHERE trim(para) != ''
+        """,
+        "gopher_rules": f"""
+            WITH t AS (
+              SELECT doc_id, text, {_TOKS} AS toks,
+                     list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS lines
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                len(toks) AS n_words,
+                CASE WHEN len(toks) > 0
+                     THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END AS mwl,
+                CASE WHEN len(toks) > 0
+                     THEN CAST((len(string_split(text, '#')) - 1
+                               + len(string_split(text, '...')) - 1) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END AS swr,
+                CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+                  / greatest(len(lines), 1) AS bullet,
+                CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) AS DOUBLE)
+                  / greatest(len(lines), 1) AS ellip,
+                CASE WHEN len(toks) > 0
+                     THEN CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END AS alpha,
+                len(list_intersect(list_distinct(list_transform(toks, w -> lower(w))),
+                    ['the','be','to','of','and','that','have','with'])) AS nstop
+              FROM t
+            ), d AS (
+              SELECT *, CASE
+                WHEN n_words < 50 THEN 'too_few_words'
+                WHEN n_words > 100000 THEN 'too_many_words'
+                WHEN mwl < 3.0 THEN 'mean_word_len_low'
+                WHEN mwl > 10.0 THEN 'mean_word_len_high'
+                WHEN swr > 0.1 THEN 'symbol_ratio'
+                WHEN bullet > 0.9 THEN 'bullet_lines'
+                WHEN ellip > 0.3 THEN 'ellipsis_lines'
+                WHEN alpha < 0.8 THEN 'non_alpha_words'
+                WHEN nstop < 2 THEN 'stopwords'
+                END AS reason
+              FROM f
+            )
+            SELECT doc_id, n_words AS g_n_words,
+                   round(mwl, 9) AS g_mean_word_len,
+                   round(swr, 9) AS g_symbol_word_ratio,
+                   round(alpha, 9) AS g_alpha_word_frac,
+                   nstop AS g_n_stopwords,
+                   reason IS NULL AS gopher_keep,
+                   reason AS gopher_drop_reason
+            FROM d
         """,
         "decontaminate": f"""
             WITH t AS (

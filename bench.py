@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "events_sessionize_skew",
     "paragraph_dedup",
     "decontaminate",
+    "gopher_rules",
 ]
 
 
