@@ -33,11 +33,12 @@ def contamination_flags(
     text_col: str = "text",
     n: int = 3,
     min_matches: int = 1,
+    bench_text_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, n_matched, contaminated) for every document: n_matched =
     how many DISTINCT benchmark n-grams the doc contains; contaminated iff
-    n_matched >= min_matches."""
-    bench = benchmark_ngrams(benchmark, text_col, n)
+    n_matched >= min_matches. ``bench_text_col`` defaults to ``text_col``."""
+    bench = benchmark_ngrams(benchmark, bench_text_col or text_col, n)
     doc_grams = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(ngrams_col(F.col(text_col), n))).alias("gram"),

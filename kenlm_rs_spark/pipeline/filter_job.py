@@ -89,6 +89,9 @@ def run_filter_job(
     partitions_per_chunk: int | None = None,
     sample_for_thresholds: float | None = None,
     exact_thresholds: bool = False,
+    gopher: bool = False,
+    resample_weights: dict[str, float] | None = None,
+    decontaminate_benchmark: DataFrame | None = None,
 ) -> dict:
     """Returns the aggregate metrics dict. Re-running with the same
     output_dir resumes: completed chunks are skipped.
@@ -100,7 +103,20 @@ def run_filter_job(
     over an auto-sized sample (``THRESHOLD_SAMPLE_TARGET`` rows: full data at
     test scale, fraction ~1e-6 at 10^12 docs). Pass ``exact_thresholds=True``
     / ``sample_for_thresholds=1.0`` only where engine-portable determinism
-    matters more than memory (the DuckDB-oracle gate query does)."""
+    matters more than memory (the DuckDB-oracle gate query does).
+
+    Opt-in stages (all OFF by default so the frozen CCNet keep/drop
+    semantics are untouched; each is recorded in the chunk lineage):
+    - ``gopher=True``: apply the Gopher rule set (ops/gopher.py) after the
+      CCNet decision — a doc the CCNet rules keep but Gopher drops gets
+      drop_reason 'gopher:<rule>'.
+    - ``resample_weights={'head': .., 'middle': .., 'tail': ..}``:
+      CCNet bucket resampling over still-kept docs (deterministic md5-keyed
+      sampling by url — resumable by construction); sampled-out docs get
+      drop_reason 'resampled_out'.
+    - ``decontaminate_benchmark=<DataFrame with a text column>``: flag and
+      drop docs sharing trigrams with the benchmark set (broadcast join);
+      dropped docs get drop_reason 'contaminated'."""
     os.makedirs(output_dir, exist_ok=True)
     partitions = partitions_per_chunk or int(
         spark.conf.get("spark.sql.shuffle.partitions")
@@ -184,7 +200,57 @@ def run_filter_job(
         )
         chunk = with_buckets(chunk, thresholds, lang_col="lang_pred", ppl_col="ppl")
         chunk = decide(chunk)
-        out = chunk.select(*[c for c in OUTPUT_COLUMNS if c in chunk.columns])
+        extra_cols: list[str] = []
+        if gopher:
+            from ..ops.gopher import gopher_decide, gopher_features
+
+            chunk = gopher_decide(gopher_features(chunk, text_col="text_scrubbed"))
+            chunk = chunk.withColumn(
+                "drop_reason",
+                F.coalesce(
+                    F.col("drop_reason"),
+                    F.when(
+                        ~F.col("gopher_keep"),
+                        F.concat(F.lit("gopher:"), F.col("gopher_drop_reason")),
+                    ),
+                ),
+            ).withColumn("keep", F.col("drop_reason").isNull())
+            extra_cols.append("gopher_drop_reason")
+        if decontaminate_benchmark is not None:
+            from ..ops.decontam import contamination_flags
+
+            flags = contamination_flags(
+                chunk.select("url", "text_scrubbed"),
+                decontaminate_benchmark,
+                id_col="url",
+                text_col="text_scrubbed",
+                bench_text_col="text",
+            ).withColumnRenamed("doc_id", "url")
+            chunk = chunk.join(flags.select("url", "contaminated"), "url", "left")
+            chunk = chunk.withColumn(
+                "drop_reason",
+                F.coalesce(
+                    F.col("drop_reason"),
+                    F.when(F.col("contaminated"), "contaminated"),
+                ),
+            ).withColumn("keep", F.col("drop_reason").isNull())
+            extra_cols.append("contaminated")
+        if resample_weights:
+            from .quality import resample_u_col, resample_weight_col
+
+            sampled_out = (
+                F.col("keep")
+                & (resample_u_col("url") >= resample_weight_col(resample_weights))
+            )
+            chunk = chunk.withColumn(
+                "drop_reason",
+                F.coalesce(
+                    F.col("drop_reason"), F.when(sampled_out, "resampled_out")
+                ),
+            ).withColumn("keep", F.col("drop_reason").isNull())
+        out = chunk.select(
+            *[c for c in OUTPUT_COLUMNS + extra_cols if c in chunk.columns]
+        )
         out.write.mode("overwrite").parquet(path)
 
         # metrics from the written chunk (exact, cheap — it's already on disk)
@@ -214,6 +280,11 @@ def run_filter_job(
                 "job": JOB_VERSION,
                 "extractor": EXTRACTOR_VERSION,
                 "rules": RULES_VERSION,
+            },
+            "stages": {
+                "gopher": bool(gopher),
+                "resample_weights": resample_weights,
+                "decontaminate": decontaminate_benchmark is not None,
             },
             "wall_sec": round(time.time() - t_start, 2),
         }
@@ -268,6 +339,13 @@ def main():
     ap.add_argument("--output", required=True)
     ap.add_argument("--lm-dir", default="fixtures/lms")
     ap.add_argument("--chunks", type=int, default=4)
+    ap.add_argument("--gopher", action="store_true",
+                    help="apply the Gopher rule set after the CCNet decision")
+    ap.add_argument("--resample-weights", default=None,
+                    help='per-bucket keep weights as JSON, e.g. '
+                         '\'{"head": 1.0, "middle": 0.5, "tail": 0.1}\'')
+    ap.add_argument("--decontaminate", default=None,
+                    help="parquet path of a benchmark set with a text column")
     args = ap.parse_args()
 
     from ..spark.session import get_spark
@@ -279,7 +357,14 @@ def main():
         pages = generate_pages_df(spark, args.generate)
     else:
         pages = spark.read.parquet(args.input)
-    totals = run_filter_job(spark, pages, args.output, args.lm_dir, n_chunks=args.chunks)
+    totals = run_filter_job(
+        spark, pages, args.output, args.lm_dir, n_chunks=args.chunks,
+        gopher=args.gopher,
+        resample_weights=json.loads(args.resample_weights)
+        if args.resample_weights else None,
+        decontaminate_benchmark=spark.read.parquet(args.decontaminate)
+        if args.decontaminate else None,
+    )
     print(json.dumps(totals))
 
 

@@ -61,6 +61,29 @@ def decide(
     )
 
 
+def resample_u_col(key_col: str, seed: str = "ccnet") -> Column:
+    """Deterministic uniform u(seed:key) in [0,1): first 8 md5 hex digits
+    scaled — the sampling primitive shared by bucket_resample and the
+    filter job's opt-in resampling stage."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / float(1 << 32)
+    )
+
+
+def resample_weight_col(weights: dict[str, float], bucket: str = "bucket") -> Column:
+    w = F.lit(0.0)
+    for name, weight in sorted(weights.items()):
+        w = F.when(F.col(bucket) == name, float(weight)).otherwise(w)
+    return w
+
+
 def bucket_resample(
     df: DataFrame,
     weights: dict[str, float],
@@ -78,16 +101,8 @@ def bucket_resample(
 
     Unknown buckets keep weight 0.0. Returns the input columns plus
     ``sample_u`` for auditability, filtered to the kept rows."""
-    u = (
-        F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))), 1, 8), 16, 10)
-        .cast("double") / float(1 << 32)
-    )
-    w = F.lit(0.0)
-    for name, weight in sorted(weights.items()):
-        w = F.when(F.col(bucket) == name, float(weight)).otherwise(w)
-    return (
-        df.withColumn("sample_u", u)
-        .filter(F.col("sample_u") < w)
+    return df.withColumn("sample_u", resample_u_col(key_col, seed)).filter(
+        F.col("sample_u") < resample_weight_col(weights, bucket)
     )
 
 

@@ -168,3 +168,57 @@ def test_chunk_markers_carry_snapshot_manifest(spark, pages, tmp_path):
     assert (t2["docs"], t2["kept"]) == (t1["docs"], t1["kept"])
     m2 = json.load(open(os.path.join(out, "_chunk_0.json")))
     assert sum(f["rows"] for f in m2["manifest"]) == m2["docs"]
+
+
+def test_filter_job_optin_stages_compose(spark, pages, tmp_path):
+    """The opt-in stages (Gopher rules, decontamination, bucket resampling)
+    compose on top of the frozen CCNet decision: CCNet reasons unchanged,
+    new drops attributed to 'gopher:<rule>' / 'contaminated' /
+    'resampled_out', stage config recorded in chunk lineage, and the default
+    (all-off) run unaffected."""
+    import pyspark.sql.functions as F
+
+    from kenlm_rs_spark.pipeline.filter_job import run_filter_job
+
+    base_out = str(tmp_path / "base")
+    t_base = run_filter_job(spark, pages, base_out, LM_DIR, n_chunks=2)
+
+    bench = pages.limit(3).select("url", F.col("text").alias("text"))
+    # benchmark texts are raw page html/text; use extracted text instead:
+    from kenlm_rs_spark.pipeline.extract import with_extracted_text
+
+    bench = with_extracted_text(pages.limit(3)).select("text")
+
+    out = str(tmp_path / "staged")
+    t = run_filter_job(
+        spark, pages, out, LM_DIR, n_chunks=2,
+        gopher=True,
+        resample_weights={"head": 0.5, "middle": 0.5, "tail": 0.5},
+        decontaminate_benchmark=bench,
+    )
+    assert t["docs"] == t_base["docs"] == N_DOCS
+    # staged run can only drop MORE than the base run
+    assert t["kept"] <= t_base["kept"]
+    # every base CCNet reason count is preserved exactly (stages only touch
+    # docs the CCNet chain kept)
+    for reason, cnt in t_base["by_reason"].items():
+        assert t["by_reason"].get(reason) == cnt, (reason, cnt, t["by_reason"])
+    new_reasons = set(t["by_reason"]) - set(t_base["by_reason"])
+    assert any(r.startswith("gopher:") or r in ("contaminated", "resampled_out")
+               for r in new_reasons), t["by_reason"]
+    m = json.load(open(os.path.join(out, "_chunk_0.json")))
+    assert m["stages"] == {
+        "gopher": True,
+        "resample_weights": {"head": 0.5, "middle": 0.5, "tail": 0.5},
+        "decontaminate": True,
+    }
+    # resumability with stages on: rerun skips everything, totals identical
+    t2 = run_filter_job(
+        spark, pages, out, LM_DIR, n_chunks=2,
+        gopher=True,
+        resample_weights={"head": 0.5, "middle": 0.5, "tail": 0.5},
+        decontaminate_benchmark=bench,
+    )
+    assert (t2["docs"], t2["kept"], t2["by_reason"]) == (
+        t["docs"], t["kept"], t["by_reason"]
+    )
