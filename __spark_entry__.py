@@ -433,6 +433,23 @@ def q_gopher_rules(spark, sf_dir):
     )
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher A1.2 repetition signals: duplicate-line fractions + top-n-gram
+    character fractions (n=2,3,4), smallest-gram tie-break."""
+    from kenlm_rs_spark.ops.gopher import gopher_repetition
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = gopher_repetition(docs)
+    return out.select(
+        "doc_id",
+        F.round("dup_line_frac", 9).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 9).alias("dup_line_char_frac"),
+        F.round("top2gram_char_frac", 9).alias("top2gram_char_frac"),
+        F.round("top3gram_char_frac", 9).alias("top3gram_char_frac"),
+        F.round("top4gram_char_frac", 9).alias("top4gram_char_frac"),
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: the 'eval set' is the deterministic
     doc_id % 97 == 0 slice of the corpus; every doc is flagged with how many
@@ -697,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "decontaminate": q_decontaminate,
         "gopher_rules": q_gopher_rules,
+        "gopher_repetition": q_gopher_repetition,
         "paragraph_stats": q_paragraph_stats,
         "union_filter": q_union_filter,
         "suffix_sort_topk": q_suffix_sort_topk,
@@ -1180,6 +1198,75 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(string_split_regex(para, '[\\x00\\t\\n\\r ]+'), y -> y != '')) AS n_tokens,
                    length(para) AS n_chars
             FROM u WHERE trim(para) != ''
+        """,
+        "gopher_repetition": f"""
+            WITH t AS (
+              SELECT doc_id, text, {_TOKS} AS toks,
+                     list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS lines
+              FROM documents
+            ), plc AS (
+              SELECT doc_id, line, count(*) AS c
+              FROM (SELECT doc_id, unnest(lines) AS line FROM t) GROUP BY 1, 2
+            ), lf AS (
+              SELECT doc_id,
+                     CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup_line_frac,
+                     CAST(sum((c - 1) * length(line)) AS DOUBLE)
+                       / sum(c * length(line)) AS dup_line_char_frac
+              FROM plc GROUP BY doc_id
+            ),
+            pg2 AS (
+              SELECT doc_id, gram, count(*) AS c FROM (
+                SELECT doc_id, unnest({_GRAMS2}) AS gram FROM t
+              ) GROUP BY 1, 2
+            ), top2 AS (
+              SELECT doc_id, min(gram) AS g, max(c) AS c FROM (
+                SELECT doc_id, gram, c,
+                       max(c) OVER (PARTITION BY doc_id) AS cmax
+                FROM pg2
+              ) WHERE c = cmax GROUP BY doc_id
+            ),
+            pg3 AS (
+              SELECT doc_id, gram, count(*) AS c FROM (
+                SELECT doc_id, unnest({_GRAMS3}) AS gram FROM t
+              ) GROUP BY 1, 2
+            ), top3 AS (
+              SELECT doc_id, min(gram) AS g, max(c) AS c FROM (
+                SELECT doc_id, gram, c,
+                       max(c) OVER (PARTITION BY doc_id) AS cmax
+                FROM pg3
+              ) WHERE c = cmax GROUP BY doc_id
+            ),
+            pg4 AS (
+              SELECT doc_id, gram, count(*) AS c FROM (
+                SELECT doc_id,
+                       unnest([array_to_string(toks[i+1:i+4], ' ')
+                               for i in range(len(toks)-3)]) AS gram
+                FROM t
+              ) GROUP BY 1, 2
+            ), top4 AS (
+              SELECT doc_id, min(gram) AS g, max(c) AS c FROM (
+                SELECT doc_id, gram, c,
+                       max(c) OVER (PARTITION BY doc_id) AS cmax
+                FROM pg4
+              ) WHERE c = cmax GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   round(coalesce(lf.dup_line_frac, 0.0), 9) AS dup_line_frac,
+                   round(coalesce(lf.dup_line_char_frac, 0.0), 9) AS dup_line_char_frac,
+                   round(CASE WHEN length(t.text) > 0
+                         THEN CAST(coalesce(top2.c * length(top2.g), 0) AS DOUBLE) / length(t.text)
+                         ELSE 0.0 END, 9) AS top2gram_char_frac,
+                   round(CASE WHEN length(t.text) > 0
+                         THEN CAST(coalesce(top3.c * length(top3.g), 0) AS DOUBLE) / length(t.text)
+                         ELSE 0.0 END, 9) AS top3gram_char_frac,
+                   round(CASE WHEN length(t.text) > 0
+                         THEN CAST(coalesce(top4.c * length(top4.g), 0) AS DOUBLE) / length(t.text)
+                         ELSE 0.0 END, 9) AS top4gram_char_frac
+            FROM t
+            LEFT JOIN lf ON lf.doc_id = t.doc_id
+            LEFT JOIN top2 ON top2.doc_id = t.doc_id
+            LEFT JOIN top3 ON top3.doc_id = t.doc_id
+            LEFT JOIN top4 ON top4.doc_id = t.doc_id
         """,
         "gopher_rules": f"""
             WITH t AS (

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "decontaminate",
     "gopher_rules",
+    "gopher_repetition",
 ]
 
 

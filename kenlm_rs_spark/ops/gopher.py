@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import tokens_col
+from .textstats import ngrams_col, tokens_col
 
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
@@ -91,6 +91,67 @@ def gopher_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .drop("_toks", "_lines")
     )
+
+
+def gopher_repetition(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    top_ngram_orders: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """Gopher A1.2 repetition signals, per document:
+
+    - dup_line_frac:       (line occurrences - distinct lines) / lines
+    - dup_line_char_frac:  characters in repeated line occurrences (beyond
+                           the first of each) / total line characters
+    - top{n}gram_char_frac (n in top_ngram_orders): occurrences of the most
+      frequent word n-gram x its character length / document characters.
+      Tie-break: smallest gram string (deterministic, engine-portable).
+
+    Spark shape: explode lines/ngrams -> groupBy (doc, unit) -> per-doc agg.
+    Both shuffles key on (doc_id, unit) — uniform; no window sorts. The
+    char-overlap-aware duplicate n-gram fractions of the full A1.2 spec are
+    intentionally out of scope (their overlap attribution is not portable
+    SQL); these line + top-gram signals are the load-bearing ones."""
+    doc = F.col(id_col).alias("doc_id")
+    lines = df.select(doc, F.explode(_lines(F.col(text_col))).alias("line"))
+    per_line = lines.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
+    line_feats = per_line.groupBy("doc_id").agg(
+        ((F.sum("c") - F.count("*")) / F.sum("c")).alias("dup_line_frac"),
+        (
+            F.sum((F.col("c") - 1) * F.length("line"))
+            / F.sum(F.col("c") * F.length("line"))
+        ).alias("dup_line_char_frac"),
+    )
+    out = df.select(doc, F.length(text_col).alias("n_chars"))
+    for n in top_ngram_orders:
+        grams = df.select(
+            doc, F.explode(ngrams_col(F.col(text_col), n)).alias("gram")
+        )
+        per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+        # tie-break on the SMALLEST gram among max-count grams
+        top = per_gram.join(
+            per_gram.groupBy("doc_id").agg(F.max("c").alias("cmax")), "doc_id"
+        ).filter(F.col("c") == F.col("cmax")).groupBy("doc_id").agg(
+            F.min("gram").alias("top_gram"), F.first("cmax").alias("top_c")
+        )
+        feat = top.select(
+            "doc_id",
+            (F.col("top_c") * F.length("top_gram")).alias(f"_topchars{n}"),
+        )
+        out = out.join(feat, "doc_id", "left")
+    sel = [
+        "doc_id",
+        F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+        F.coalesce("dup_line_char_frac", F.lit(0.0)).alias("dup_line_char_frac"),
+    ]
+    out = out.join(line_feats, "doc_id", "left")
+    for n in top_ngram_orders:
+        sel.append(
+            F.when(
+                F.col("n_chars") > 0,
+                F.coalesce(F.col(f"_topchars{n}"), F.lit(0)) / F.col("n_chars"),
+            ).otherwise(0.0).alias(f"top{n}gram_char_frac")
+        )
+    return out.select(*sel)
 
 
 def gopher_decide(df: DataFrame) -> DataFrame:

@@ -64,3 +64,29 @@ def test_gopher_feature_values(spark):
     assert r["g_n_stopwords"] == 1  # only 'the'
     assert r["g_alpha_word_frac"] == 1.0
     assert r["gopher_drop_reason"] == "too_few_words"
+
+
+def test_gopher_repetition_features(spark):
+    """Hand-computed repetition signals: duplicate lines + top-n-gram char
+    fractions with deterministic tie-break."""
+    from kenlm_rs_spark.ops.gopher import gopher_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b\na b\nc"),        # dup lines: 3 lines, 2 distinct
+            (2, "x y x y x"),          # top2gram 'x y' (tie with 'y x'), c=2
+            (3, "unique line only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+    import pytest as _pt
+
+    assert got[1]["dup_line_frac"] == _pt.approx(1 / 3)
+    # repeated occurrences beyond first: 1x'a b' (3 chars) of 7 line chars
+    assert got[1]["dup_line_char_frac"] == _pt.approx(3 / 7)
+    # doc 2: len('x y')=3, c=2, len(text)=9
+    assert got[2]["top2gram_char_frac"] == _pt.approx(6 / 9)
+    assert got[3]["dup_line_frac"] == 0.0
+    # single-occurrence grams: top c=1, smallest gram wins, frac = len/len(text)
+    assert got[3]["top2gram_char_frac"] > 0
