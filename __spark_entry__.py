@@ -433,6 +433,26 @@ def q_gopher_rules(spark, sf_dir):
     )
 
 
+def q_salted_domain_counts(spark, sf_dir):
+    """Two-level salted per-domain aggregation under the gate: synthetic
+    urls give one mega-domain (every even doc_id -> big.example, ~50% of
+    rows) plus 13 cold domains; salted_domain_counts salts the hot domain
+    over 16 sub-keys and re-reduces — the oracle is the plain GROUP BY, so
+    the hash check proves the skew plan is semantics-preserving."""
+    from kenlm_rs_spark.ops.partitioning import salted_domain_counts
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, "big.example").otherwise(
+            F.concat(F.lit("site"), (F.col("doc_id") % 13).cast("string"), F.lit(".example"))
+        ),
+        F.lit("/page/"),
+        F.col("doc_id").cast("string"),
+    )
+    return salted_domain_counts(docs.withColumn("url", url))
+
+
 def q_gopher_repetition(spark, sf_dir):
     """Gopher A1.2 repetition signals: duplicate-line fractions + top-n-gram
     character fractions (n=2,3,4), smallest-gram tie-break."""
@@ -715,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "gopher_rules": q_gopher_rules,
         "gopher_repetition": q_gopher_repetition,
+        "salted_domain_counts": q_salted_domain_counts,
         "paragraph_stats": q_paragraph_stats,
         "union_filter": q_union_filter,
         "suffix_sort_topk": q_suffix_sort_topk,
@@ -1198,6 +1219,14 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(string_split_regex(para, '[\\x00\\t\\n\\r ]+'), y -> y != '')) AS n_tokens,
                    length(para) AS n_chars
             FROM u WHERE trim(para) != ''
+        """,
+        # plain GROUP BY twin of the two-level salted aggregation
+        "salted_domain_counts": """
+            SELECT CASE WHEN doc_id % 2 = 0 THEN 'big.example'
+                        ELSE 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example'
+                   END AS domain,
+                   count(*) AS docs
+            FROM documents GROUP BY 1
         """,
         "gopher_repetition": f"""
             WITH t AS (

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "gopher_rules",
     "gopher_repetition",
+    "salted_domain_counts",
 ]
 
 
