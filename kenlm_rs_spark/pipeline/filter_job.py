@@ -28,9 +28,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..lm.model import NGramModel
-from ..spark.scoring import make_multi_lm_score_udf
+from ..spark.scoring import make_langid_score_udf
 from .extract import EXTRACTOR_VERSION, with_extracted_text
-from .langid import default_langid, make_langid_udf
+from .langid import default_langid
 from .quality import RULES_VERSION, decide, ppl_thresholds, rule_columns, with_buckets
 from .scrub import scrub_text
 
@@ -70,14 +70,6 @@ def load_language_models(spark: SparkSession, lm_dir: str) -> dict:
     return bcs
 
 
-def _attach_langid(df: DataFrame, bc_langid) -> DataFrame:
-    udf = make_langid_udf(bc_langid)
-    return (
-        df.withColumn("lid", udf(F.col("text")))
-        .withColumn("lang_pred", F.col("lid.lang"))
-        .withColumn("lang_conf", F.col("lid.lang_conf"))
-        .drop("lid")
-    )
 
 
 def run_filter_job(
@@ -138,14 +130,17 @@ def run_filter_job(
         if frac < 1.0:
             sample = pages.sample(frac, seed=42)
         sample = with_extracted_text(sample)
-        sample = _attach_langid(sample, bc_langid)
         # thresholds must be computed over the SAME text the chunk loop
         # scores (text_scrubbed) — scrub placeholders are OOV, so an
         # unscrubbed threshold distribution would bias the buckets
         sample = sample.withColumn("text_scrubbed", scrub_text(F.col("text")))
-        score_udf = make_multi_lm_score_udf(bc_models)
+        fused = make_langid_score_udf(bc_langid, bc_models)
         sample = sample.withColumn(
-            "ppl", score_udf(F.col("text_scrubbed"), F.col("lang_pred")).getField("ppl")
+            "ls", fused(F.col("text"), F.col("text_scrubbed"))
+        ).select(
+            "*",
+            F.col("ls.lang").alias("lang_pred"),
+            F.col("ls.ppl").alias("ppl"),
         )
         thresholds = ppl_thresholds(
             sample, lang_col="lang_pred", ppl_col="ppl",
@@ -189,14 +184,18 @@ def run_filter_job(
         chunk = pages.filter(F.pmod(F.xxhash64("url"), F.lit(n_chunks)) == k)
         chunk = with_extracted_text(chunk)
         chunk = chunk.repartition(partitions, F.xxhash64("url"))
-        chunk = _attach_langid(chunk, bc_langid)
         chunk = chunk.withColumn("text_scrubbed", scrub_text(F.col("text")))
         chunk = rule_columns(chunk, text_col="text_scrubbed")
-        score_udf = make_multi_lm_score_udf(bc_models)
+        # langid + per-language scoring FUSED into one ArrowEvalPython stage
+        # (spark/scoring.make_langid_score_udf — value-identical to the
+        # two-stage chain, pytest-pinned; halves the JVM<->Python crossings)
+        fused = make_langid_score_udf(bc_langid, bc_models)
         chunk = (
-            chunk.withColumn("lm", score_udf(F.col("text_scrubbed"), F.col("lang_pred")))
-            .select("*", "lm.log10_prob", "lm.tokens", "lm.oov", "lm.ppl")
-            .drop("lm")
+            chunk.withColumn("ls", fused(F.col("text"), F.col("text_scrubbed")))
+            .withColumn("lang_pred", F.col("ls.lang"))
+            .withColumn("lang_conf", F.col("ls.lang_conf"))
+            .select("*", "ls.log10_prob", "ls.tokens", "ls.oov", "ls.ppl")
+            .drop("ls")
         )
         chunk = with_buckets(chunk, thresholds, lang_col="lang_pred", ppl_col="ppl")
         chunk = decide(chunk)

@@ -19,6 +19,7 @@ from pyspark.sql.types import (
     DoubleType,
     FloatType,
     IntegerType,
+    StringType,
     StructField,
     StructType,
 )
@@ -104,6 +105,63 @@ def register_sql_udfs(
         spark.udf.register(f"{prefix}langid", make_langid_udf(bc_langid))
         names.append(f"{prefix}langid")
     return names
+
+
+LANGID_SCORE_SCHEMA = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("lang_conf", FloatType()),
+        StructField("log10_prob", FloatType()),
+        StructField("tokens", IntegerType()),
+        StructField("oov", IntegerType()),
+        StructField("ppl", DoubleType()),
+    ]
+)
+
+
+def make_langid_score_udf(bc_langid, bc_models: dict, bos: bool = True, eos: bool = True):
+    """FUSED language-ID + per-language KenLM scoring in ONE JVM<->Python
+    crossing: (raw_text, scrubbed_text) -> struct(lang, lang_conf,
+    log10_prob, tokens, oov, ppl).
+
+    Unfused, langid and scoring are two ArrowEvalPython stages that Spark
+    cannot combine (scoring consumes langid's output column), so every batch
+    crosses the boundary twice and the scrubbed text is serialized in a
+    second Arrow pass. The fusion runs the identical kernels (langid over
+    the raw text, grouped per-language vectorized scoring over the scrubbed
+    text) back-to-back in one worker call — values bit-identical to the
+    two-stage chain."""
+    import numpy as np
+
+    @F.pandas_udf(LANGID_SCORE_SCHEMA)
+    def fused_udf(texts: pd.Series, scrubbed: pd.Series) -> pd.DataFrame:
+        langid = bc_langid.value
+        langs, confs = langid.predict_batch(texts.fillna("").tolist())
+        langs = pd.Series(langs, index=texts.index)
+        out = pd.DataFrame(
+            {
+                "lang": langs,
+                "lang_conf": pd.Series(confs, index=texts.index, dtype="float32"),
+                "log10_prob": np.zeros(len(texts), dtype="float32"),
+                "tokens": np.zeros(len(texts), dtype="int32"),
+                "oov": np.zeros(len(texts), dtype="int32"),
+                "ppl": np.zeros(len(texts), dtype="float64"),
+            }
+        )
+        default_lang = next(iter(bc_models))
+        lang_norm = langs.where(langs.isin(list(bc_models)), default_lang)
+        for lang, idx in lang_norm.groupby(lang_norm).groups.items():
+            model = bc_models[lang].value
+            res = score_texts(
+                model, scrubbed.loc[idx].fillna("").tolist(), bos=bos, eos=eos
+            )
+            out.loc[idx, "log10_prob"] = res["log10_prob"]
+            out.loc[idx, "tokens"] = res["tokens"].astype("int32")
+            out.loc[idx, "oov"] = res["oov"].astype("int32")
+            out.loc[idx, "ppl"] = res["ppl"]
+        return out
+
+    return fused_udf
 
 
 def make_multi_lm_score_udf(bc_models: dict, bos: bool = True, eos: bool = True):

@@ -19,10 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..pipeline.extract import with_extracted_text
-from ..pipeline.langid import make_langid_udf
 from ..pipeline.quality import decide, rule_columns, with_buckets
 from ..pipeline.scrub import scrub_text
-from ..spark.scoring import make_multi_lm_score_udf
+from ..spark.scoring import make_langid_score_udf
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
@@ -30,22 +29,25 @@ PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang st
 def filter_transform(
     pages: DataFrame, bc_langid, bc_models: dict, thresholds: dict
 ) -> DataFrame:
-    """The stateless filter plan — valid on batch AND streaming DataFrames."""
+    """The stateless filter plan — valid on batch AND streaming DataFrames.
+
+    langid + per-language KenLM scoring run FUSED in one ArrowEvalPython
+    stage (spark/scoring.make_langid_score_udf): as separate UDFs the
+    scoring stage consumes langid's output column, so Spark cannot combine
+    them and every batch crosses JVM<->Python twice; the fused kernel is
+    value-identical (pytest-pinned) and halves the crossings."""
     df = with_extracted_text(pages)
-    lid = make_langid_udf(bc_langid)
-    df = (
-        df.withColumn("lid", lid(F.col("text")))
-        .withColumn("lang_pred", F.col("lid.lang"))
-        .withColumn("lang_conf", F.col("lid.lang_conf"))
-        .drop("lid")
-    )
     df = df.withColumn("text_scrubbed", scrub_text(F.col("text")))
     df = rule_columns(df, text_col="text_scrubbed")
-    score = make_multi_lm_score_udf(bc_models)
+    fused = make_langid_score_udf(bc_langid, bc_models)
     df = (
-        df.withColumn("lm", score(F.col("text_scrubbed"), F.col("lang_pred")))
-        .select("*", "lm.log10_prob", "lm.tokens", "lm.oov", "lm.ppl")
-        .drop("lm")
+        df.withColumn("ls", fused(F.col("text"), F.col("text_scrubbed")))
+        .withColumn("lang_pred", F.col("ls.lang"))
+        .withColumn("lang_conf", F.col("ls.lang_conf"))
+        .select(
+            "*", "ls.log10_prob", "ls.tokens", "ls.oov", "ls.ppl"
+        )
+        .drop("ls")
     )
     df = with_buckets(df, thresholds, lang_col="lang_pred", ppl_col="ppl")
     return decide(df)
