@@ -70,6 +70,35 @@ def make_bmp(w: int, h: int) -> bytes:
     return header + info + pixels
 
 
+def make_webp_vp8l(w: int, h: int, alpha: bool = False) -> bytes:
+    """Minimal VP8L (lossless WEBP) header stream: RIFF/WEBP container +
+    0x2F signature + packed 14-bit (w-1, h-1) dims + alpha bit."""
+    bits = (w - 1) | ((h - 1) << 14) | ((1 if alpha else 0) << 28)
+    payload = b"\x2f" + struct.pack("<I", bits) + b"\x00"
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def make_webp_vp8x(w: int, h: int, alpha: bool = False) -> bytes:
+    """Minimal VP8X (extended WEBP) header: flag byte + 24-bit (w-1, h-1)."""
+    payload = (
+        bytes([0x10 if alpha else 0x00])
+        + b"\x00\x00\x00"
+        + (w - 1).to_bytes(3, "little")
+        + (h - 1).to_bytes(3, "little")
+    )
+    chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def make_webp_vp8(w: int, h: int) -> bytes:
+    """Minimal lossy VP8 keyframe header: 3-byte frame tag + 9d 01 2a start
+    code + 14-bit u16le dims."""
+    payload = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h)
+    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
 def synth_image_bytes(doc_id: int) -> bytes:
     """Deterministic real-image payload for a doc_id: format cycles
     png/gif/jpeg, dims are pure arithmetic of doc_id — so a SQL oracle can

@@ -36,6 +36,9 @@ def parse_image_header(data: bytes) -> tuple[int, int, int, str] | None:
       (height/width u16 BE, component count = channels).
     - BMP: 'BM' + BITMAPINFOHEADER (i32 LE dims; height may be negative
       for top-down rows).
+    - WEBP: RIFF container; VP8 (lossy keyframe start code + 14-bit dims),
+      VP8L (0x2F signature + packed 14+14-bit dims + alpha bit), VP8X
+      (extended header: flag byte + 24-bit dims).
     """
     if (
         len(data) >= 26
@@ -69,6 +72,31 @@ def parse_image_header(data: bytes) -> tuple[int, int, int, str] | None:
                 h, w = struct.unpack(">HH", data[i + 5 : i + 9])
                 return int(w), int(h), int(data[i + 9]), "jpeg"
             i += 2 + seg_len
+        return None
+    if len(data) >= 25 and data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        four = data[12:16]
+        if four == b"VP8 " and len(data) >= 30:
+            # lossy: 3-byte frame tag, start code 9d 01 2a, 14-bit dims
+            if data[23:26] == b"\x9d\x01\x2a":
+                w = struct.unpack("<H", data[26:28])[0] & 0x3FFF
+                h = struct.unpack("<H", data[28:30])[0] & 0x3FFF
+                return int(w), int(h), 3, "webp"
+            return None
+        if four == b"VP8L" and len(data) >= 25:
+            # lossless: signature 0x2F then 14+14 bits (w-1, h-1) + alpha bit
+            if data[20] != 0x2F:
+                return None
+            bits = struct.unpack("<I", data[21:25])[0]
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            alpha = (bits >> 28) & 1
+            return int(w), int(h), 4 if alpha else 3, "webp"
+        if four == b"VP8X" and len(data) >= 30:
+            flags = data[20]
+            w = int.from_bytes(data[24:27], "little") + 1
+            h = int.from_bytes(data[27:30], "little") + 1
+            alpha = (flags >> 4) & 1
+            return int(w), int(h), 4 if alpha else 3, "webp"
         return None
     if len(data) >= 26 and data[:2] == b"BM":
         # validate the DIB header size field so arbitrary text starting

@@ -12,7 +12,15 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from kenlm_rs_spark.ops.imagegen import make_bmp, make_gif, make_jpeg, make_png
+from kenlm_rs_spark.ops.imagegen import (
+    make_bmp,
+    make_gif,
+    make_jpeg,
+    make_png,
+    make_webp_vp8,
+    make_webp_vp8l,
+    make_webp_vp8x,
+)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "fixtures", "images")
@@ -25,6 +33,9 @@ FIXTURES = {
     "tiny.jpg": make_jpeg(31, 17, ncomp=3),
     "tiny_gray.jpg": make_jpeg(8, 6, ncomp=1),
     "tiny.bmp": make_bmp(10, 3),
+    "tiny_vp8.webp": make_webp_vp8(24, 18),
+    "tiny_vp8l.webp": make_webp_vp8l(15, 9, alpha=True),
+    "tiny_vp8x.webp": make_webp_vp8x(640, 480),
 }
 
 
