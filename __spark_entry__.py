@@ -1488,7 +1488,7 @@ def oracle_sql() -> dict[str, str]:
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
               FROM flagged
             )
-            SELECT user_id, session_id,
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    epoch_us(min(ts)) AS session_start_us,
                    epoch_us(max(ts)) AS session_end_us,
                    count(*) AS n_events,
@@ -1512,7 +1512,7 @@ def oracle_sql() -> dict[str, str]:
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
               FROM flagged
             )
-            SELECT user_id, session_id,
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    epoch_us(min(ts)) AS session_start_us,
                    epoch_us(max(ts)) AS session_end_us,
                    count(*) AS n_events,

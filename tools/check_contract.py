@@ -35,11 +35,11 @@ def normalize(df_pandas):
         if v is None or (isinstance(v, float) and np.isnan(v)):
             return "NULL"
         if isinstance(v, float):
-            if v == int(v) and abs(v) < 1e15:
-                return str(int(v))
-            # full repr: the driver's hash is bit-strict on rendered values,
-            # so the local mimic must not be coarser (%.6g once masked a
-            # 7th-digit divergence — VERDICT r2 "What's wrong" 1)
+            # dtype-faithful: NEVER collapse integral floats to ints. A
+            # float64-typed oracle column must hash differently from an
+            # int64 Spark column (1.0 vs 1) exactly as the driver sees it —
+            # the old collapse masked the 3-round sessionize red
+            # (VERDICT r3 "What's wrong" 1-2).
             return repr(v)
         if isinstance(v, (np.floating,)):
             return cell(float(v))
@@ -49,6 +49,15 @@ def normalize(df_pandas):
     rows = ["\x01".join(cell(v) for v in row) for row in df.itertuples(index=False)]
     rows.sort()
     return hashlib.sha256("\n".join(rows).encode()).hexdigest(), len(rows), list(df.columns)
+
+
+def dtype_kinds(df_pandas):
+    """Per-column numpy dtype kind, sorted by column name ('i' int, 'f' float,
+    'O' object, 'M' datetime, 'b' bool); unsigned folds into 'i'."""
+    return {
+        c: ("i" if df_pandas[c].dtype.kind in ("i", "u") else df_pandas[c].dtype.kind)
+        for c in sorted(df_pandas.columns)
+    }
 
 
 def main():
@@ -89,8 +98,13 @@ def main():
             continue
         sh, sn, scols = normalize(sdf)
         oh, on, ocols = normalize(odf)
+        skinds, okinds = dtype_kinds(sdf), dtype_kinds(odf)
         if scols != ocols:
             print(f"FAIL  {name}: columns {scols} != {ocols}")
+            n_fail += 1
+        elif skinds != okinds:
+            diff = {c: (skinds[c], okinds[c]) for c in skinds if skinds[c] != okinds[c]}
+            print(f"FAIL  {name}: dtype kind mismatch spark!=oracle {diff}")
             n_fail += 1
         elif sn != on:
             print(f"FAIL  {name}: rows {sn} != {on}")
