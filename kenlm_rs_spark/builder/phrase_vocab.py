@@ -26,17 +26,25 @@ def _words(col):
 
 
 def subphrases(col, max_length: int):
-    """All contiguous sub-phrases (space-joined) of length 1..max_length."""
+    """All contiguous sub-phrases (space-joined) of length 1..max_length.
+
+    Empty/whitespace-only sentences yield an empty array: without the guard,
+    F.sequence(1, 0) produces the DESCENDING [1, 0] and start=0 makes
+    F.slice throw INVALID_PARAMETER_VALUE.START. The reference tool prints
+    an empty vocab line for such sentences (phrase_table_vocab_main.cc)."""
     toks = _words(col)
-    return F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.least(F.lit(max_length), F.size(toks))),
-            lambda length: F.transform(
-                F.sequence(F.lit(1), F.size(toks) - length + 1),
-                lambda start: F.array_join(F.slice(toks, start, length), " "),
-            ),
-        )
-    )
+    return F.when(
+        F.size(toks) > 0,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(max_length), F.size(toks))),
+                lambda length: F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - length + 1),
+                    lambda start: F.array_join(F.slice(toks, start, length), " "),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def phrase_table_vocab(
@@ -51,8 +59,12 @@ def phrase_table_vocab(
     """(sentence_id, words array<string> sorted) — own words + matched
     targets. Output word order is canonical (sorted); the reference prints
     an unordered hash set, so sorting is the deterministic rendering."""
+    # explode_outer keeps empty sentences as a w=NULL row; collect_set drops
+    # the NULL, so they surface with an empty vocab (reference prints an
+    # empty line rather than skipping the sentence)
     own = sentences.select(
-        F.col(id_col).alias("sentence_id"), F.explode(_words(F.col(text_col))).alias("w")
+        F.col(id_col).alias("sentence_id"),
+        F.explode_outer(_words(F.col(text_col))).alias("w"),
     )
     subs = sentences.select(
         F.col(id_col).alias("sentence_id"),

@@ -168,7 +168,7 @@ def lsh_jaccard_dedup(
         .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count("*").alias("common"))
     )
-    return (
+    out = (
         common.withColumn(
             "jaccard",
             F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
@@ -176,6 +176,10 @@ def lsh_jaccard_dedup(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "common", "jaccard")
     )
+    # the cache must outlive the returned (lazy) plan, so the callee cannot
+    # unpersist it; long-lived sessions unpersist via this handle (ADVICE r3)
+    out.cached_deps = [sh]
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -196,7 +200,8 @@ def ngram_jaccard_pairs(
     aggregate and both sides of the self-join, and Catalyst does not reuse
     the tokenize+shingle subtree across them (4 parquet scans without the
     cache, .explain-verified)."""
-    sh = shingle_table(df, id_col, text_col, shingle_n).cache()
+    sh_raw = shingle_table(df, id_col, text_col, shingle_n).cache()
+    sh = sh_raw
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     sh = sh.join(
         F.broadcast(freq.filter(F.col("df") <= max_shingle_freq).select("shingle")),
@@ -218,7 +223,7 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("common"))
     )
-    return (
+    out = (
         common.withColumn(
             "jaccard",
             F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
@@ -226,6 +231,8 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "common", "jaccard")
     )
+    out.cached_deps = [sh_raw, sh]
+    return out
 
 
 def simhash_signatures(

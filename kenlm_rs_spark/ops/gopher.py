@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import ngrams_col, tokens_col
+from .textstats import ngrams_from_tokens, tokens_col
 
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
@@ -106,49 +106,76 @@ def gopher_repetition(
       frequent word n-gram x its character length / document characters.
       Tie-break: smallest gram string (deterministic, engine-portable).
 
-    Spark shape: explode lines/ngrams -> groupBy (doc, unit) -> per-doc agg.
-    Both shuffles key on (doc_id, unit) — uniform; no window sorts. The
-    char-overlap-aware duplicate n-gram fractions of the full A1.2 spec are
-    intentionally out of scope (their overlap attribution is not portable
-    SQL); these line + top-gram signals are the load-bearing ones."""
+    Spark shape (VERDICT r3 item 5 — single-pass): tokenize ONCE, build
+    lines + every n-gram order in one projection, explode the concatenated
+    (order, unit) array once, then exactly two shuffles — one
+    groupBy(doc, order, unit) count and one groupBy(doc) conditional
+    aggregate (the old form made 4 corpus scans and ~8 shuffles). The
+    max-count/min-gram tie-break becomes min(struct(-c, gram)) so no
+    per-order self-join is needed. All shuffle keys are uniform; no window
+    sorts. The char-overlap-aware duplicate n-gram fractions of the full
+    A1.2 spec are intentionally out of scope (their overlap attribution is
+    not portable SQL); these line + top-gram signals are the load-bearing
+    ones."""
     doc = F.col(id_col).alias("doc_id")
-    lines = df.select(doc, F.explode(_lines(F.col(text_col))).alias("line"))
-    per_line = lines.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
-    line_feats = per_line.groupBy("doc_id").agg(
-        ((F.sum("c") - F.count("*")) / F.sum("c")).alias("dup_line_frac"),
-        (
-            F.sum((F.col("c") - 1) * F.length("line"))
-            / F.sum(F.col("c") * F.length("line"))
-        ).alias("dup_line_char_frac"),
-    )
-    out = df.select(doc, F.length(text_col).alias("n_chars"))
+    toks = tokens_col(F.col(text_col))
+    unit_arrays = [
+        F.transform(
+            _lines(F.col(text_col)),
+            lambda l: F.struct(F.lit(0).alias("order"), l.alias("unit")),
+        )
+    ]
+    def _tag(order):
+        # NOTE: a `lambda g, _n=n:` default is NOT usable here — PySpark
+        # treats any two-parameter HOF lambda as the (element, index) form
+        # and binds the second name to the element index
+        return lambda g: F.struct(F.lit(order).alias("order"), g.alias("unit"))
+
     for n in top_ngram_orders:
-        grams = df.select(
-            doc, F.explode(ngrams_col(F.col(text_col), n)).alias("gram")
+        unit_arrays.append(F.transform(ngrams_from_tokens(toks, n), _tag(n)))
+    units = df.select(doc, F.explode(F.concat(*unit_arrays)).alias("u")).select(
+        "doc_id", F.col("u.order").alias("order"), F.col("u.unit").alias("unit")
+    )
+    counts = units.groupBy("doc_id", "order", "unit").agg(F.count("*").alias("c"))
+    is_line = F.col("order") == 0
+    aggs = [
+        (
+            F.sum(F.when(is_line, F.col("c") - 1))
+            / F.sum(F.when(is_line, F.col("c")))
+        ).alias("_dlf"),
+        (
+            F.sum(F.when(is_line, (F.col("c") - 1) * F.length("unit")))
+            / F.sum(F.when(is_line, F.col("c") * F.length("unit")))
+        ).alias("_dlcf"),
+    ]
+    for n in top_ngram_orders:
+        # min(struct(-c, gram)) == (max count, then SMALLEST gram) — the
+        # deterministic engine-portable tie-break, without a self-join
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("order") == n,
+                    F.struct(
+                        (-F.col("c")).alias("negc"), F.col("unit").alias("gram")
+                    ),
+                )
+            ).alias(f"_top{n}")
         )
-        per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
-        # tie-break on the SMALLEST gram among max-count grams
-        top = per_gram.join(
-            per_gram.groupBy("doc_id").agg(F.max("c").alias("cmax")), "doc_id"
-        ).filter(F.col("c") == F.col("cmax")).groupBy("doc_id").agg(
-            F.min("gram").alias("top_gram"), F.first("cmax").alias("top_c")
-        )
-        feat = top.select(
-            "doc_id",
-            (F.col("top_c") * F.length("top_gram")).alias(f"_topchars{n}"),
-        )
-        out = out.join(feat, "doc_id", "left")
+    per_doc = counts.groupBy("doc_id").agg(*aggs)
+    out = df.select(doc, F.length(text_col).alias("n_chars")).join(
+        per_doc, "doc_id", "left"
+    )
     sel = [
         "doc_id",
-        F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
-        F.coalesce("dup_line_char_frac", F.lit(0.0)).alias("dup_line_char_frac"),
+        F.coalesce("_dlf", F.lit(0.0)).alias("dup_line_frac"),
+        F.coalesce("_dlcf", F.lit(0.0)).alias("dup_line_char_frac"),
     ]
-    out = out.join(line_feats, "doc_id", "left")
     for n in top_ngram_orders:
+        topchars = (-F.col(f"_top{n}.negc")) * F.length(F.col(f"_top{n}.gram"))
         sel.append(
             F.when(
                 F.col("n_chars") > 0,
-                F.coalesce(F.col(f"_topchars{n}"), F.lit(0)) / F.col("n_chars"),
+                F.coalesce(topchars, F.lit(0)) / F.col("n_chars"),
             ).otherwise(0.0).alias(f"top{n}gram_char_frac")
         )
     return out.select(*sel)

@@ -63,10 +63,16 @@ def parse_image_header(data: bytes) -> tuple[int, int, int, str] | None:
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers have no length field
                 continue
+            if marker in (0xD9, 0xDA):
+                # EOI / SOS reached before any frame header: entropy-coded
+                # data follows SOS (not a length-prefixed segment), so stop
+                return None
             if i + 4 > len(data):
                 return None
             seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
-            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2 frame header
+            # all SOFn frame headers (ITU T.81 table B.1): C0-CF except
+            # C4 (DHT), C8 (JPG), CC (DAC) which are not frame headers
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 if i + 10 > len(data):
                     return None
                 h, w = struct.unpack(">HH", data[i + 5 : i + 9])

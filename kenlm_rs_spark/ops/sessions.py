@@ -167,6 +167,13 @@ def sessionize_stateful(key, pdf_iter: Iterator[pd.DataFrame], state):
     timeout."""
     import datetime as dt
 
+    def utc_naive(epoch):
+        # explicit-UTC construction: naive fromtimestamp() uses the
+        # executor's LOCAL tz and would shift session bounds on non-UTC
+        # workers (pandas reads naive timestamps back as UTC, so the
+        # round-trip must be UTC on both legs)
+        return dt.datetime.fromtimestamp(epoch, tz=dt.timezone.utc).replace(tzinfo=None)
+
     (user_id,) = key
     if state.hasTimedOut:
         (start, last, n, total) = state.get
@@ -175,8 +182,8 @@ def sessionize_stateful(key, pdf_iter: Iterator[pd.DataFrame], state):
             [
                 dict(
                     user_id=user_id,
-                    session_start=dt.datetime.fromtimestamp(start),
-                    session_end=dt.datetime.fromtimestamp(last),
+                    session_start=utc_naive(start),
+                    session_end=utc_naive(last),
                     n_events=n,
                     total_value=total,
                     closed=1,
@@ -198,8 +205,8 @@ def sessionize_stateful(key, pdf_iter: Iterator[pd.DataFrame], state):
             out.append(
                 dict(
                     user_id=user_id,
-                    session_start=dt.datetime.fromtimestamp(start),
-                    session_end=dt.datetime.fromtimestamp(last),
+                    session_start=utc_naive(start),
+                    session_end=utc_naive(last),
                     n_events=n,
                     total_value=total,
                     closed=1,
@@ -210,6 +217,8 @@ def sessionize_stateful(key, pdf_iter: Iterator[pd.DataFrame], state):
             start = t
         last = t
         n += 1
+        # float64 accumulation (the batch twin sums DECIMAL): fine for the
+        # stream==batch equivalence fixture's value range, not bit-law
         total += float(value)
     state.update((start, last, n, total))
     state.setTimeoutDuration(SESSION_GAP_SEC * 1000)

@@ -199,10 +199,14 @@ def embedding_near_dup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
+    out = (
         cand.withColumn(
             "cosine", cosine_similarity_col(F.col("vec_a"), F.col("vec_b"))
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    # unpersist handle for long-lived sessions (ADVICE r3): the cache must
+    # outlive this lazy plan, so release is the caller's call
+    out.cached_deps = [exploded]
+    return out

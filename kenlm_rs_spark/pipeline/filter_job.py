@@ -215,12 +215,27 @@ def run_filter_job(
                 ),
             ).withColumn("keep", F.col("drop_reason").isNull())
             extra_cols.append("gopher_drop_reason")
+        cached_chunk = None
         if decontaminate_benchmark is not None:
             from ..ops.decontam import contamination_flags
 
+            # the flags join is self-referencing: without a cache the
+            # extract+scrub subtree executes once per join side (ADVICE r3).
+            # Drop the heavy source columns (html etc.) and cache the
+            # decision-sized rows so the chunk plan runs exactly once.
+            needed = set(OUTPUT_COLUMNS + extra_cols)
+            chunk = chunk.select(*[c for c in chunk.columns if c in needed])
+            cached_chunk = chunk = chunk.cache()
+            # scrub the benchmark with the SAME scrub as the corpus side:
+            # both sides of the overlap test see identical placeholders, so
+            # contamination spanning emails/URLs still matches (the raw-text
+            # benchmark path could never match a scrubbed corpus gram)
+            bench = decontaminate_benchmark.withColumn(
+                "text", scrub_text(F.col("text"))
+            )
             flags = contamination_flags(
                 chunk.select("url", "text_scrubbed"),
-                decontaminate_benchmark,
+                bench,
                 id_col="url",
                 text_col="text_scrubbed",
                 bench_text_col="text",
@@ -251,6 +266,8 @@ def run_filter_job(
             *[c for c in OUTPUT_COLUMNS + extra_cols if c in chunk.columns]
         )
         out.write.mode("overwrite").parquet(path)
+        if cached_chunk is not None:
+            cached_chunk.unpersist()
 
         # metrics from the written chunk (exact, cheap — it's already on disk)
         written = spark.read.parquet(path)

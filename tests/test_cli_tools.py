@@ -236,6 +236,27 @@ def test_phrase_table_vocab_cli(spark, tmp_path):
     assert lines[1].split() == sorted(["a", "dog", "chien"])
 
 
+def test_phrase_table_vocab_cli_empty_line(spark, tmp_path):
+    """Empty/whitespace-only source lines must not crash subphrases()
+    (F.sequence(1,0) -> descending -> F.slice start=0 threw) and must print
+    an empty vocab line like the reference tool."""
+    import io
+
+    from kenlm_rs_spark.tools.phrase_table_vocab import main as pmain
+
+    src = tmp_path / "src.txt"
+    src.write_text("a dog\n\n   \nthe cat\n")
+    table = "dog ||| chien ||| 0.2\n"
+    out = io.StringIO()
+    pmain([str(src)], stdin=io.StringIO(table), stdout=out)
+    lines = out.getvalue().split("\n")[:-1]
+    assert len(lines) == 4
+    assert lines[0].split() == sorted(["a", "dog", "chien"])
+    assert lines[1] == ""
+    assert lines[2] == ""
+    assert lines[3].split() == sorted(["the", "cat"])
+
+
 def test_cat_compressed_cli(tmp_path, capsysbinary):
     import bz2
     import gzip

@@ -32,6 +32,52 @@ def test_contamination_flags_semantics(spark):
     assert got[4][0] == got[3][0]  # duplicates in doc count once (distinct)
 
 
+def test_hashed_path_matches_string_path(spark):
+    """VERDICT r3 item 7: the default hashed path (xxhash64 broadcast, 8
+    bytes/gram) must produce identical flags to the exact string path."""
+    from kenlm_rs_spark.ops.decontam import contamination_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "totally unrelated text with nothing shared at all"),
+            (3, "over the lazy dog is a bench phrase fragment"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "jumps over the lazy dog"), (101, "a bench phrase fragment")],
+        "doc_id long, text string",
+    )
+    for n, mm in ((3, 1), (2, 2)):
+        hashed = sorted(
+            map(tuple, contamination_flags(docs, bench, n=n, min_matches=mm).collect())
+        )
+        exact = sorted(
+            map(
+                tuple,
+                contamination_flags(
+                    docs, bench, n=n, min_matches=mm, hashed=False
+                ).collect(),
+            )
+        )
+        assert hashed == exact
+
+
+def test_hashed_path_broadcast_is_longs(spark):
+    """The broadcast side of the hashed path carries only an 8-byte hash
+    column (the point of the optimization)."""
+    from kenlm_rs_spark.ops.decontam import contamination_flags
+
+    docs = spark.range(10).selectExpr("id AS doc_id", "'a b c d e' AS text")
+    bench = spark.range(2).selectExpr("id AS doc_id", "'a b c' AS text")
+    df = contamination_flags(docs, bench)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "xxhash64" in df._jdf.queryExecution().analyzed().toString()
+
+
 def test_contamination_plan_broadcasts_benchmark(spark):
     from kenlm_rs_spark.ops.decontam import contamination_flags
 

@@ -21,6 +21,53 @@ def _events(spark):
     return spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
 
 
+def test_sessionize_stateful_tz_independent():
+    """VERDICT r3 item 6: emitted session bounds must be UTC regardless of
+    the executor's local timezone (naive fromtimestamp() would shift them).
+    Drives the state function directly under TZ=America/New_York."""
+    import time
+
+    import pandas as pd
+
+    from kenlm_rs_spark.ops.sessions import sessionize_stateful
+
+    class StubState:
+        hasTimedOut = False
+        exists = False
+
+        def update(self, v):
+            self.stored = v
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    base = dt.datetime(2025, 1, 1, 12, 0, 0)  # naive == UTC in our schema
+    pdf = pd.DataFrame(
+        {
+            "user_id": [7, 7],
+            "ts": [pd.Timestamp(base), pd.Timestamp(base + dt.timedelta(hours=2))],
+            "value": [1.0, 2.0],
+        }
+    )
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        out = list(sessionize_stateful((7,), iter([pdf]), StubState()))
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    # the 2h-later event closes the first (single-event) session at `base`
+    assert row["session_start"] == pd.Timestamp(base)
+    assert row["session_end"] == pd.Timestamp(base)
+    assert row["n_events"] == 1
+
+
 def test_sessionize_batch(spark):
     from kenlm_rs_spark.ops.sessions import sessionize_batch
 
