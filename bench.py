@@ -8,6 +8,16 @@ The headline metric is the CCNet-style filter pipeline throughput
 perplexity + buckets + keep/drop — with the LM already built/broadcast
 (steady-state scoring, matching how the reference's benchmark harness
 times queries after load, kenlm_benchmark_main.cc:80-120).
+
+Contention-robust timing (VERDICT r3 item 3): the host is shared with
+external tenants whose load bursts contaminated single-pass timings
+(r3 headline 513 vs 849/1438 for identical code at different loadavg).
+The harness therefore runs BENCH_ROUNDS (default 3) interleaved rounds
+over the full query list and reports the per-query MIN, plus the
+observed loadavg before each round so the artifact carries its own load
+evidence. spark.catalog.clearCache() runs before every timed query so
+ops that cache self-join subtrees (lsh_jaccard, dedup_embedding, ...)
+are re-timed from the parquet scan, not from their own cache.
 """
 
 from __future__ import annotations
@@ -21,6 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", "3"))
+# stop starting new rounds past this wall-clock budget (>=1 round always
+# completes; the min over completed rounds remains a valid statistic)
+BUDGET_SEC = float(os.environ.get("BENCH_BUDGET_SEC", "900"))
 
 BENCH_QUERIES = [
     "perplexity_docs",
@@ -60,6 +74,11 @@ BENCH_QUERIES = [
     "gopher_rules",
     "gopher_repetition",
     "salted_domain_counts",
+    # added r04: the 4 gate queries previously excluded — coverage is total
+    "count_of_counts",
+    "union_filter",
+    "doc_fingerprint",
+    "events_windowed",
 ]
 
 
@@ -81,21 +100,36 @@ def main():
     entrymod._corpus_model(spark, SF_DIR)
 
     qs = entrymod.queries()
-    timings = {}
-    errors = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        try:
-            df = qs[name](spark, SF_DIR)
-            # noop write materializes EVERY column, so Python-UDF stages are
-            # not column-pruned away the way df.count() prunes them
-            # (CLAUDE.md gotcha; VERDICT r01 item 3)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # a broken query must not kill the bench line
-            errors[name] = str(e)[:200]
-            timings[name] = -1.0
+    all_rounds: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    errors: dict[str, str] = {}
+    loadavgs: list[float] = []
+    round_totals: list[float] = []
+    t_bench = time.time()
+    for r in range(ROUNDS):
+        if r > 0 and time.time() - t_bench > BUDGET_SEC:
+            break
+        loadavgs.append(round(os.getloadavg()[0], 2))
+        r0 = time.time()
+        for name in BENCH_QUERIES:
+            if name in errors:
+                continue
+            # re-time the real work, not a prior round's cached subtree
+            spark.catalog.clearCache()
+            t0 = time.time()
+            try:
+                df = qs[name](spark, SF_DIR)
+                # noop write materializes EVERY column, so Python-UDF stages
+                # are not column-pruned away the way df.count() prunes them
+                # (CLAUDE.md gotcha; VERDICT r01 item 3)
+                df.write.format("noop").mode("overwrite").save()
+                all_rounds[name].append(round(time.time() - t0, 3))
+            except Exception as e:  # a broken query must not kill the bench
+                errors[name] = str(e)[:200]
+        round_totals.append(round(time.time() - r0, 2))
 
+    timings = {
+        name: (min(secs) if secs else -1.0) for name, secs in all_rounds.items()
+    }
     filter_sec = max(timings.get("filter_pipeline", 0.0), 0.0)
     docs_per_sec = round(n_docs / filter_sec, 2) if filter_sec else 0.0
     out = {
@@ -106,6 +140,9 @@ def main():
         "sf": SF_DIR,
         "docs": n_docs,
         "cpus": int(CPUS),
+        "rounds": len(round_totals),
+        "loadavg_per_round": loadavgs,
+        "round_totals_sec": round_totals,
         "total_sec": round(sum(t for t in timings.values() if t > 0), 2),
     }
     if errors:
