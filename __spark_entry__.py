@@ -706,6 +706,117 @@ def q_lsh_ann(spark, sf_dir):
     )
 
 
+# ---- r04 web-pipeline additions: URLs, clusters, mixing, normalization ----
+
+# NFC probe appended to the (ASCII) documents text so the normalization row
+# exercises real composition: decomposed e+?? / A+ring / s+two dots
+NFC_PROBE = " e\u0301cole A\u030a s\u0323\u0307"
+
+
+def _synth_url(df):
+    """Deterministic URL per doc: doc_id%5 in 0..3 are four variants (case,
+    default port, tracking param, fragment, trailing slash) of the SAME page
+    (page = doc_id div 5) so canonicalization collapses them; %5==4 is a
+    unique page. The oracle builds the identical strings in SQL."""
+    page = ((F.col("doc_id") - F.col("doc_id") % 5) / F.lit(5)).cast("long").cast("string")
+    did = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 5
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://site"), page, F.lit(".example.com/a/"), page))
+        .when(m == 1, F.concat(F.lit("HTTPS://SITE"), page, F.lit(".EXAMPLE.COM/a/"), page, F.lit("/")))
+        .when(m == 2, F.concat(F.lit("https://site"), page, F.lit(".example.com:443/a/"), page, F.lit("?utm_source=x")))
+        .when(m == 3, F.concat(F.lit("https://site"), page, F.lit(".example.com/a/"), page, F.lit("#frag")))
+        .otherwise(F.concat(F.lit("http://other"), did, F.lit(".example.net:80/b?q="), did, F.lit("&utm_campaign=z")))
+    )
+    return df.select("doc_id", url.alias("url"))
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization + registered-domain extraction (ops/urls.py):
+    pure codegen regex over synthesized per-doc URLs; the oracle renders the
+    SAME shared pattern constants as DuckDB SQL (urls.canonical_url_sql_expr)."""
+    from kenlm_rs_spark.ops.urls import canonical_url, registered_domain
+
+    urls = _synth_url(_docs(spark, sf_dir))
+    return urls.select(
+        "doc_id",
+        canonical_url(F.col("url")).alias("canon_url"),
+        registered_domain(F.col("url")).alias("domain"),
+    )
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup: first doc (min id) per canonical URL survives — one
+    groupBy on the full canonical URL (uniform key, mega-domain-proof)."""
+    from kenlm_rs_spark.ops.urls import url_dedup
+
+    urls = _synth_url(_docs(spark, sf_dir))
+    return url_dedup(urls).select("doc_id", "canon_url", "is_canonical")
+
+
+def q_domain_blocklist(spark, sf_dir):
+    """Domain blocklist filtering: the blocklist is the deterministic subset
+    of corpus domains whose md5 starts with 0-3 (~25%), broadcast-joined
+    against the corpus side (which never shuffles)."""
+    from kenlm_rs_spark.ops.urls import blocklist_filter, registered_domain
+
+    urls = _synth_url(_docs(spark, sf_dir))
+    domains = urls.select(registered_domain(F.col("url")).alias("domain")).distinct()
+    blocklist = domains.filter(
+        F.substring(F.md5("domain"), 1, 1).isin("0", "1", "2", "3")
+    )
+    return blocklist_filter(urls, blocklist).select("doc_id", "domain", "blocked")
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> dedup clusters via iterative min-label connected
+    components (ops/components.py). Edges are deterministic arithmetic over
+    doc ids (two overlapping families so some components need multi-round
+    propagation); the oracle computes the same components with a recursive
+    CTE. cluster_id = min doc id of the component; survivor = that doc."""
+    from kenlm_rs_spark.ops.components import dedup_clusters
+
+    base = _docs(spark, sf_dir).select("doc_id")
+    e1 = base.filter(F.col("doc_id") % 7 < 3).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 3).alias("id_b")
+    )
+    e2 = base.filter(F.col("doc_id") % 11 < 2).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 6).alias("id_b")
+    )
+    return dedup_clusters(e1.unionByName(e2)).select(
+        "doc_id", "cluster_id", "is_survivor"
+    )
+
+
+def q_token_budget_mix(spark, sf_dir):
+    """Token-budget corpus mixing (ops/mixing.py): per-language budgets,
+    deterministic md5(doc_id) selection order, cumulative window sum; first
+    doc of each group always kept."""
+    from kenlm_rs_spark.ops.mixing import token_budget_mix
+
+    docs = _docs(spark, sf_dir)
+    out = token_budget_mix(
+        docs, {"en": 2000, "de": 1500, "fr": 1000, "zh": 800, "es": 600}
+    )
+    return out.select("doc_id", "group", "tokens", "cum_tokens", "mix_keep")
+
+
+def q_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization (ops/normalize.py, Arrow pandas UDF over
+    CPython unicodedata) vs DuckDB's native nfc_normalize: a decomposed
+    probe string is appended to each (ASCII) document so the row proves
+    real composition, compared by md5 of the normalized bytes."""
+    from kenlm_rs_spark.ops.normalize import nfc_normalize
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.md5(nfc_normalize(F.concat(F.col("text"), F.lit(NFC_PROBE)))).alias(
+            "nfc_md5"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "perplexity_docs": q_perplexity_docs,
@@ -747,6 +858,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "cosine_topk": q_cosine_topk,
         "lsh_ann": q_lsh_ann,
+        # r04 web-pipeline additions
+        "url_canonicalize": q_url_canonicalize,
+        "url_dedup": q_url_dedup,
+        "domain_blocklist": q_domain_blocklist,
+        "dedup_clusters": q_dedup_clusters,
+        "token_budget_mix": q_token_budget_mix,
+        "nfc_normalize": q_nfc_normalize,
     }
 
 
@@ -765,9 +883,31 @@ def oracle_sql() -> dict[str, str]:
     )
 
     from kenlm_rs_spark.builder.phrase_filter import PhraseSets
+    from kenlm_rs_spark.ops.urls import (
+        canonical_url_sql_expr,
+        registered_domain_sql_expr,
+    )
 
     toks = _with_toks()
     stop_list = "['" + "','".join(ts.STOPWORDS) + "']"
+
+    # same synthesized URLs as _synth_url (q_url_* queries), rendered in SQL
+    _URL_SYNTH_SQL = """
+        SELECT doc_id,
+          CASE doc_id % 5
+            WHEN 0 THEN 'https://site' || p || '.example.com/a/' || p
+            WHEN 1 THEN 'HTTPS://SITE' || p || '.EXAMPLE.COM/a/' || p || '/'
+            WHEN 2 THEN 'https://site' || p || '.example.com:443/a/' || p || '?utm_source=x'
+            WHEN 3 THEN 'https://site' || p || '.example.com/a/' || p || '#frag'
+            ELSE 'http://other' || d || '.example.net:80/b?q=' || d || '&utm_campaign=z'
+          END AS url
+        FROM (SELECT doc_id,
+                CAST(CAST((doc_id - doc_id % 5) / 5 AS BIGINT) AS VARCHAR) AS p,
+                CAST(doc_id AS VARCHAR) AS d
+              FROM documents)
+    """
+    url_canon = canonical_url_sql_expr("url")
+    url_domain = registered_domain_sql_expr("url")
 
     # phrase-filter piece sets rendered as SQL IN-lists (same PhraseSets
     # source the Spark DP kernel uses)
@@ -1572,5 +1712,74 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, match_id, round(cos, 5) AS cosine, rank
             FROM ranked WHERE rank <= 5
+        """,
+        # ---- r04 web-pipeline additions ---------------------------------
+        "url_canonicalize": f"""
+            WITH u AS ({_URL_SYNTH_SQL})
+            SELECT doc_id, {url_canon} AS canon_url, {url_domain} AS domain
+            FROM u
+        """,
+        "url_dedup": f"""
+            WITH u AS ({_URL_SYNTH_SQL}),
+            c AS (SELECT doc_id, {url_canon} AS canon_url FROM u)
+            SELECT doc_id, canon_url,
+                   doc_id = min(doc_id) OVER (PARTITION BY canon_url)
+                     AS is_canonical
+            FROM c
+        """,
+        "domain_blocklist": f"""
+            WITH u AS ({_URL_SYNTH_SQL}),
+            d AS (SELECT doc_id, {url_domain} AS domain FROM u)
+            SELECT doc_id, domain,
+                   substring(md5(domain), 1, 1) IN ('0','1','2','3') AS blocked
+            FROM d
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE e0 AS (
+              SELECT doc_id AS id_a, doc_id + 3 AS id_b FROM documents
+              WHERE doc_id % 7 < 3
+              UNION ALL
+              SELECT doc_id, doc_id + 6 FROM documents WHERE doc_id % 11 < 2
+            ), e AS (
+              SELECT id_a AS src, id_b AS dst FROM e0
+              UNION
+              SELECT id_b, id_a FROM e0
+            ), nodes AS (SELECT DISTINCT src AS node FROM e),
+            reach(node, r) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node
+            )
+            SELECT node AS doc_id, min(r) AS cluster_id,
+                   node = min(r) AS is_survivor
+            FROM reach GROUP BY node
+        """,
+        "token_budget_mix": f"""
+            WITH base AS (
+              SELECT doc_id, lang AS grp,
+                     CAST(len({_TOKS}) AS BIGINT) AS tokens,
+                     md5(CAST(doc_id AS VARCHAR)) AS k
+              FROM documents
+            ), w AS (
+              SELECT doc_id, grp, tokens,
+                     CAST(sum(tokens) OVER (PARTITION BY grp ORDER BY k, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_tokens,
+                     row_number() OVER (PARTITION BY grp ORDER BY k, doc_id) AS rn
+              FROM base
+            )
+            SELECT doc_id, grp AS "group", tokens, cum_tokens,
+                   (cum_tokens <= CASE grp WHEN 'en' THEN 2000
+                                           WHEN 'de' THEN 1500
+                                           WHEN 'fr' THEN 1000
+                                           WHEN 'zh' THEN 800
+                                           WHEN 'es' THEN 600
+                                           ELSE 0 END
+                    OR rn = 1) AS mix_keep
+            FROM w
+        """,
+        "nfc_normalize": f"""
+            SELECT doc_id, md5(nfc_normalize(text || '{NFC_PROBE}')) AS nfc_md5
+            FROM documents
         """,
     }

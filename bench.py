@@ -79,6 +79,13 @@ BENCH_QUERIES = [
     "union_filter",
     "doc_fingerprint",
     "events_windowed",
+    # added r04: web-pipeline operators (URLs, clusters, mixing, NFC)
+    "url_canonicalize",
+    "url_dedup",
+    "domain_blocklist",
+    "dedup_clusters",
+    "token_budget_mix",
+    "nfc_normalize",
 ]
 
 

@@ -1,0 +1,162 @@
+"""URL canonicalization, URL-level dedup, and domain blocklist filtering —
+the web-pipeline front door that runs BEFORE content dedup in a
+Common-Crawl-style corpus (each crawl holds the same page under
+`?utm_source=...`, `#fragment`, `:80`, trailing-slash variants).
+
+Everything is pure Spark SQL expressions (whole-stage codegen, no UDFs) in
+the portable Java/RE2 regex subset, so a DuckDB oracle can reproduce the
+bytes exactly (the ``*_sql_expr`` twins below generate the oracle from the
+same pattern constants — one source of truth, like pipeline/scrub.py).
+
+Scale notes (100 TB):
+- canonicalization is a narrow map — no shuffle;
+- URL dedup is one groupBy on the canonical URL (the full URL is the key,
+  so mega-domains do NOT skew it);
+- blocklist filtering is a broadcast hash join (blocklists are
+  thousands-to-millions of rows — megabytes); the corpus never shuffles;
+- registered_domain feeds the salted-domain aggregation in
+  ops/partitioning.py when per-DOMAIN stats are wanted (that key IS skewed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# -- shared pattern constants (Spark + oracle use the SAME strings) --------
+
+# parts of a URL (no lookaround; group 1 is the payload in each)
+SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+QUERY_RE = r"\?([^#]*)"
+
+# tracking parameters removed from the query string; (^|&) consumes the
+# separator so no replacement backreference is needed (portable: Spark $1
+# vs DuckDB \1 rendering never comes into play)
+TRACKING_PARAM_RE = r"(^|&)(utm_[a-z0-9_]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)=[^&]*"
+
+REGISTERED_DOMAIN_RE = r"([^.]+\.[^.]+)$"
+
+
+def _strip_suffix(col: Column, n: int) -> Column:
+    return col.substr(F.lit(1), F.length(col) - n)
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form: lowercase scheme+host, default port stripped
+    (:80 http / :443 https), fragment dropped, tracking params dropped,
+    empty path -> '/', trailing slash stripped from non-root paths."""
+    scheme = F.lower(F.regexp_extract(url, SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(url, HOSTPORT_RE, 1))
+    host = (
+        F.when((scheme == "http") & hostport.endswith(":80"), _strip_suffix(hostport, 3))
+        .when((scheme == "https") & hostport.endswith(":443"), _strip_suffix(hostport, 4))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(url, PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when((path != "/") & path.endswith("/"), _strip_suffix(path, 1)).otherwise(path)
+    query = F.regexp_extract(url, QUERY_RE, 1)
+    query = F.regexp_replace(query, TRACKING_PARAM_RE, "")
+    query = F.regexp_replace(query, "^&+", "")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+
+
+def registered_domain(host_or_url: Column, is_url: bool = True) -> Column:
+    """Naive registered domain = last two dot-labels of the host (a real
+    deployment swaps in the public-suffix list; the mechanism — extract,
+    normalize, group — is identical)."""
+    host = (
+        F.lower(F.regexp_extract(host_or_url, HOSTPORT_RE, 1))
+        if is_url
+        else F.lower(host_or_url)
+    )
+    host = F.regexp_replace(host, ":[0-9]+$", "")
+    return F.regexp_extract(host, REGISTERED_DOMAIN_RE, 1)
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, canon_url, is_canonical): first occurrence (min id) per
+    canonical URL wins. One groupBy on the canonical URL via the same
+    min-aggregate shape as paragraph dedup (ops/paragraphs.py) — a URL
+    duplicated across 10^6 crawls costs O(n), never a window sort."""
+    canon = df.select(
+        F.col(id_col).alias("doc_id"), canonical_url(F.col(url_col)).alias("canon_url")
+    )
+    first = canon.groupBy("canon_url").agg(F.min("doc_id").alias("first_id"))
+    return canon.join(first, "canon_url").select(
+        "doc_id",
+        "canon_url",
+        (F.col("doc_id") == F.col("first_id")).alias("is_canonical"),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """(id, domain, blocked): broadcast hash membership join against a
+    blocklist of registered domains. The corpus side never shuffles."""
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        registered_domain(F.col(url_col)).alias("domain"),
+    )
+    bl = F.broadcast(
+        blocklist.select(F.lower(F.col(domain_col)).alias("domain"))
+        .distinct()
+        .withColumn("_blocked", F.lit(True))
+    )
+    return d.join(bl, "domain", "left").select(
+        "doc_id", "domain", F.coalesce("_blocked", F.lit(False)).alias("blocked")
+    )
+
+
+# -- DuckDB oracle twins (same constants, SQL rendering) -------------------
+
+def _q(pattern: str) -> str:
+    return pattern.replace("'", "''")
+
+
+def canonical_url_sql_expr(col: str) -> str:
+    """The SAME canonicalization as ANSI/DuckDB SQL (shared pattern
+    constants; regexp_extract group indexing matches Spark's)."""
+    scheme = f"lower(regexp_extract({col}, '{_q(SCHEME_RE)}', 1))"
+    hostport = f"lower(regexp_extract({col}, '{_q(HOSTPORT_RE)}', 1))"
+    host = (
+        f"CASE WHEN {scheme} = 'http' AND {hostport} LIKE '%:80' "
+        f"THEN substring({hostport}, 1, length({hostport}) - 3) "
+        f"WHEN {scheme} = 'https' AND {hostport} LIKE '%:443' "
+        f"THEN substring({hostport}, 1, length({hostport}) - 4) "
+        f"ELSE {hostport} END"
+    )
+    path0 = f"regexp_extract({col}, '{_q(PATH_RE)}', 1)"
+    path1 = f"(CASE WHEN {path0} = '' THEN '/' ELSE {path0} END)"
+    path = (
+        f"(CASE WHEN {path1} <> '/' AND {path1} LIKE '%/' "
+        f"THEN substring({path1}, 1, length({path1}) - 1) ELSE {path1} END)"
+    )
+    query0 = f"regexp_extract({col}, '{_q(QUERY_RE)}', 1)"
+    query1 = f"regexp_replace({query0}, '{_q(TRACKING_PARAM_RE)}', '', 'g')"
+    query = f"regexp_replace({query1}, '^&+', '', 'g')"
+    return (
+        f"(({scheme}) || '://' || ({host}) || {path} || "
+        f"CASE WHEN {query} <> '' THEN '?' || {query} ELSE '' END)"
+    )
+
+
+def registered_domain_sql_expr(col: str) -> str:
+    hostport = f"lower(regexp_extract({col}, '{_q(HOSTPORT_RE)}', 1))"
+    host = f"regexp_replace({hostport}, ':[0-9]+$', '', 'g')"
+    return f"regexp_extract({host}, '{_q(REGISTERED_DOMAIN_RE)}', 1)"

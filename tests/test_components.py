@@ -1,0 +1,80 @@
+"""Connected components / dedup clustering: known graphs, chain
+convergence, and the keep-one-per-cluster policy."""
+
+from pyspark.sql import functions as F
+
+
+def test_components_two_clusters(spark):
+    from kenlm_rs_spark.ops.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_components_long_chain_converges(spark):
+    """A 12-node path needs multiple propagation rounds (diameter 11 with
+    min flowing from one end) — exercises the fixpoint loop, not just one
+    round."""
+    from kenlm_rs_spark.ops.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {i: 0 for i in range(12)}
+
+
+def test_dedup_clusters_survivor(spark):
+    from kenlm_rs_spark.ops.components import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 7), (20, 21)], "id_a long, id_b long"
+    )
+    rows = {r["doc_id"]: r for r in dedup_clusters(pairs).collect()}
+    assert rows[5]["cluster_id"] == 5 and rows[5]["is_survivor"]
+    assert rows[9]["cluster_id"] == 5 and not rows[9]["is_survivor"]
+    assert rows[7]["cluster_id"] == 5 and not rows[7]["is_survivor"]
+    assert rows[20]["cluster_id"] == 20 and rows[20]["is_survivor"]
+    assert rows[21]["cluster_id"] == 20 and not rows[21]["is_survivor"]
+
+
+def test_mixing_token_budget(spark):
+    from kenlm_rs_spark.ops.mixing import token_budget_mix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "a b c"),            # 3 tokens
+            (2, "en", "d e"),              # 2
+            (3, "en", "f g h i"),          # 4
+            (4, "de", "x y z w v u t s"),  # 8 — alone exceeds budget 5
+            (5, "fr", "q"),                # group without budget entry
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = token_budget_mix(docs, {"en": 5, "de": 5})
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # en selection order is md5-keyed: reconstruct expectation directly
+    import hashlib
+
+    en = sorted(
+        [(hashlib.md5(str(i).encode()).hexdigest(), i) for i in (1, 2, 3)]
+    )
+    cum, seen = 0, {}
+    toks = {1: 3, 2: 2, 3: 4}
+    for j, (_, i) in enumerate(en):
+        cum += toks[i]
+        seen[i] = cum <= 5 or j == 0
+    for i in (1, 2, 3):
+        assert rows[i]["mix_keep"] == seen[i], i
+    # first doc of a group is always kept even over budget
+    assert rows[4]["mix_keep"] is True
+    # group with no budget: first row kept, budget otherwise 0
+    assert rows[5]["mix_keep"] is True
+    assert rows[5]["cum_tokens"] == 1

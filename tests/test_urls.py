@@ -1,0 +1,99 @@
+"""URL canonicalization / dedup / blocklist: Spark vs DuckDB byte parity
+(shared pattern constants), dedup semantics, and the broadcast plan law."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+TRICKY_URLS = [
+    "HTTP://Example.COM:80/path/?utm_source=x&id=1#frag",
+    "https://example.com:443/a/b/",
+    "https://example.com",
+    "http://sub.Example.org:8080/x?a=1&utm_campaign=z&b=2",
+    "https://example.com/?fbclid=abc",
+    "https://example.com/p?utm_a=1&utm_b=2",
+    "http://example.com/p/",
+    "https://www.news.co.uk/story?ref=tw&id=9#top",
+    "ftp://Files.Example.net/pub/",
+    "https://example.com:8443/q?gclid=1&x=2&mc_cid=3",
+]
+
+
+def test_canonical_url_spark_duckdb_parity(spark):
+    from kenlm_rs_spark.ops.urls import (
+        canonical_url,
+        canonical_url_sql_expr,
+        registered_domain,
+        registered_domain_sql_expr,
+    )
+
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(TRICKY_URLS)], "i long, url string")
+    got = {
+        r["i"]: (r["c"], r["d"])
+        for r in df.select(
+            "i",
+            canonical_url(F.col("url")).alias("c"),
+            registered_domain(F.col("url")).alias("d"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(i BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?, ?)", list(enumerate(TRICKY_URLS)))
+    want = {
+        i: (c, d)
+        for i, c, d in con.sql(
+            f"SELECT i, {canonical_url_sql_expr('url')} AS c, "
+            f"{registered_domain_sql_expr('url')} AS d FROM u"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_canonical_url_specific_cases(spark):
+    from kenlm_rs_spark.ops.urls import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in TRICKY_URLS], "url string")
+    got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
+    assert got[0] == "http://example.com/path?id=1"
+    assert got[1] == "https://example.com/a/b"
+    assert got[2] == "https://example.com/"
+    assert got[3] == "http://sub.example.org:8080/x?a=1&b=2"
+    assert got[4] == "https://example.com/"
+    assert got[5] == "https://example.com/p"
+    assert got[6] == "http://example.com/p"
+    assert got[9] == "https://example.com:8443/q?x=2"
+
+
+def test_url_dedup_first_wins(spark):
+    from kenlm_rs_spark.ops.urls import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (10, "http://A.com/x?utm_source=1"),
+            (3, "http://a.com/x/"),
+            (7, "http://a.com/x#frag"),
+            (5, "http://a.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["doc_id"]: r["is_canonical"] for r in url_dedup(df).collect()}
+    assert got == {3: True, 7: False, 10: False, 5: True}
+
+
+def test_blocklist_filter_broadcast_and_semantics(spark):
+    from kenlm_rs_spark.ops.urls import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://spam.example.com/x"),
+            (2, "https://ok.other.org/y"),
+            (3, "http://Example.Com:80/z"),
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("Example.com",)], "domain string")
+    out = blocklist_filter(docs, bl)
+    got = {r["doc_id"]: r["blocked"] for r in out.collect()}
+    assert got == {1: True, 2: False, 3: True}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
