@@ -801,6 +801,24 @@ def q_token_budget_mix(spark, sf_dir):
     return out.select("doc_id", "group", "tokens", "cum_tokens", "mix_keep")
 
 
+def q_fuzzy_dedup_e2e(spark, sf_dir):
+    """The full production fuzzy-dedup shape in one row: MinHash-LSH
+    blocking -> exact Jaccard verify on candidates (ops/dedup.py) ->
+    connected components -> keep-one-per-cluster (ops/components.py).
+    Same LSH parameters as the `lsh_jaccard` row; the oracle wraps that
+    row's SQL in a recursive-CTE components pass."""
+    from kenlm_rs_spark.ops.components import dedup_clusters
+    from kenlm_rs_spark.ops.dedup import lsh_jaccard_dedup
+
+    pairs = lsh_jaccard_dedup(
+        _docs(spark, sf_dir), shingle_n=3, num_hashes=8, bands=4, threshold=0.12
+    )
+    out = dedup_clusters(pairs).select("doc_id", "cluster_id", "is_survivor")
+    for d in getattr(pairs, "cached_deps", []):
+        d.unpersist()
+    return out
+
+
 def q_nfc_normalize(spark, sf_dir):
     """Unicode NFC normalization (ops/normalize.py, Arrow pandas UDF over
     CPython unicodedata) vs DuckDB's native nfc_normalize: a decomposed
@@ -865,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "token_budget_mix": q_token_budget_mix,
         "nfc_normalize": q_nfc_normalize,
+        "fuzzy_dedup_e2e": q_fuzzy_dedup_e2e,
     }
 
 
@@ -949,6 +968,37 @@ def oracle_sql() -> dict[str, str]:
         f"JOIN sigs b ON a.sig{t} = b.sig{t} AND a.vec_id < b.vec_id"
         for t in range(4)
     )
+
+    lsh_pairs_sql = f"""
+            WITH sets AS (
+              SELECT doc_id, list_distinct({_GRAMS3}) AS s FROM {toks}
+            ), sh AS (
+              SELECT doc_id, len(s) AS set_size, unnest(s) AS shingle FROM sets
+            ), mh AS (
+              SELECT doc_id, {mh_cols_shingle} FROM sh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS sig FROM mh
+              UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM mh
+              UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM mh
+              UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM mh
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            ), common AS (
+              SELECT c.id_a, c.id_b,
+                     sa.set_size AS size_a, sb.set_size AS size_b,
+                     count(*) AS common
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b, common,
+                   round(common / (size_a + size_b - common), 6) AS jaccard
+            FROM common
+            WHERE common / (size_a + size_b - common) >= 0.12
+        """
 
     return {
         # ---- Python-model queries: frozen cross-implementation oracles.
@@ -1315,37 +1365,8 @@ def oracle_sql() -> dict[str, str]:
                OR (w[1] || ' ' || w[2] IN {p_right} AND w[3] IN {p_left})
                OR (w[1] IN {p_right} AND w[2] IN {p_whole} AND w[3] IN {p_left})
         """,
-        "lsh_jaccard": f"""
-            WITH sets AS (
-              SELECT doc_id, list_distinct({_GRAMS3}) AS s FROM {toks}
-            ), sh AS (
-              SELECT doc_id, len(s) AS set_size, unnest(s) AS shingle FROM sets
-            ), mh AS (
-              SELECT doc_id, {mh_cols_shingle} FROM sh GROUP BY doc_id
-            ), bands AS (
-              SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS sig FROM mh
-              UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM mh
-              UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM mh
-              UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM mh
-            ), cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-            ), common AS (
-              SELECT c.id_a, c.id_b,
-                     sa.set_size AS size_a, sb.set_size AS size_b,
-                     count(*) AS common
-              FROM cand c
-              JOIN sh sa ON sa.doc_id = c.id_a
-              JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
-              GROUP BY 1, 2, 3, 4
-            )
-            SELECT id_a, id_b, common,
-                   round(common / (size_a + size_b - common), 6) AS jaccard
-            FROM common
-            WHERE common / (size_a + size_b - common) >= 0.12
-        """,
-        "paragraph_stats": """
+        "lsh_jaccard": lsh_pairs_sql,
+                "paragraph_stats": """
             WITH ps AS (
               SELECT doc_id, string_split(text, ' the ') AS parts
               FROM documents
@@ -1781,5 +1802,22 @@ def oracle_sql() -> dict[str, str]:
         "nfc_normalize": f"""
             SELECT doc_id, md5(nfc_normalize(text || '{NFC_PROBE}')) AS nfc_md5
             FROM documents
+        """,
+        "fuzzy_dedup_e2e": f"""
+            WITH RECURSIVE pairs AS (
+              {lsh_pairs_sql}
+            ), e AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), nodes AS (SELECT DISTINCT src AS node FROM e),
+            reach(node, r) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node
+            )
+            SELECT node AS doc_id, min(r) AS cluster_id,
+                   node = min(r) AS is_survivor
+            FROM reach GROUP BY node
         """,
     }

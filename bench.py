@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "token_budget_mix",
     "nfc_normalize",
+    "fuzzy_dedup_e2e",
 ]
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..lm.model import NGramModel
+from ..ops.urls import canonical_url, registered_domain
 from ..spark.scoring import make_langid_score_udf
 from .extract import EXTRACTOR_VERSION, with_extracted_text
 from .langid import default_langid
@@ -84,6 +85,8 @@ def run_filter_job(
     gopher: bool = False,
     resample_weights: dict[str, float] | None = None,
     decontaminate_benchmark: DataFrame | None = None,
+    blocklist_domains: DataFrame | None = None,
+    url_dedup: bool = False,
 ) -> dict:
     """Returns the aggregate metrics dict. Re-running with the same
     output_dir resumes: completed chunks are skipped.
@@ -108,7 +111,17 @@ def run_filter_job(
       drop_reason 'resampled_out'.
     - ``decontaminate_benchmark=<DataFrame with a text column>``: flag and
       drop docs sharing trigrams with the benchmark set (broadcast join);
-      dropped docs get drop_reason 'contaminated'."""
+      dropped docs get drop_reason 'contaminated'.
+    - ``blocklist_domains=<DataFrame with a domain column>``: EARLY-drop
+      docs whose registered domain is blocklisted (broadcast join on the
+      url column only) — dropped docs never enter extraction or scoring,
+      the cheapest-filter-first shape at 10^12 docs; drop_reason
+      'blocked_domain'.
+    - ``url_dedup=True``: EARLY-drop crawl duplicates of the same
+      canonical URL (ops/urls.canonical_url), earliest (warc_ts, url)
+      wins; drop_reason 'url_duplicate'. Chunking switches to the
+      canonical URL's hash so every duplicate family lands in one chunk
+      and the per-chunk groupBy is globally correct."""
     os.makedirs(output_dir, exist_ok=True)
     partitions = partitions_per_chunk or int(
         spark.conf.get("spark.sql.shuffle.partitions")
@@ -181,7 +194,72 @@ def run_filter_job(
                 _merge(totals, m)
                 continue
             os.remove(marker)
-        chunk = pages.filter(F.pmod(F.xxhash64("url"), F.lit(n_chunks)) == k)
+        # with url_dedup, chunk on the CANONICAL url's hash so every
+        # duplicate family is confined to one chunk (the per-chunk first-
+        # occurrence groupBy is then globally correct)
+        chunk_key = (
+            canonical_url(F.col("url")) if url_dedup else F.col("url")
+        )
+        chunk = pages.filter(
+            F.pmod(F.xxhash64(chunk_key), F.lit(n_chunks)) == k
+        )
+
+        # ---- EARLY drops on the url column only: blocked domains and
+        # canonical-URL crawl duplicates never enter extraction/scoring
+        # (cheapest-filter-first; at 10^12 docs these are the highest-
+        # volume drops and the extraction+Arrow stages are the cost)
+        early = None
+        if blocklist_domains is not None or url_dedup:
+            reason = F.lit(None).cast("string")
+            if url_dedup:
+                chunk = chunk.withColumn(
+                    "_canon_url", canonical_url(F.col("url"))
+                )
+                first = chunk.groupBy("_canon_url").agg(
+                    F.min(
+                        F.struct(
+                            F.col("warc_ts").alias("ts"), F.col("url").alias("u")
+                        )
+                    ).alias("_first")
+                )
+                chunk = chunk.join(first, "_canon_url")
+                reason = F.when(
+                    ~(
+                        (F.col("warc_ts") == F.col("_first.ts"))
+                        & (F.col("url") == F.col("_first.u"))
+                    ),
+                    F.lit("url_duplicate"),
+                ).otherwise(reason)
+            if blocklist_domains is not None:
+                bl = F.broadcast(
+                    blocklist_domains.select(
+                        F.lower(F.col("domain")).alias("_bl_domain")
+                    ).distinct()
+                )
+                chunk = chunk.join(
+                    bl,
+                    registered_domain(F.col("url")) == F.col("_bl_domain"),
+                    "left",
+                )
+                # blocklist outranks url_duplicate (a blocked dup reads
+                # 'blocked_domain' — the reason a human acts on)
+                reason = F.when(
+                    F.col("_bl_domain").isNotNull(), F.lit("blocked_domain")
+                ).otherwise(reason)
+            chunk = chunk.withColumn("_early_drop", reason)
+            for c in ("_canon_url", "_first", "_bl_domain"):
+                if c in chunk.columns:
+                    chunk = chunk.drop(c)
+            early = (
+                chunk.filter(F.col("_early_drop").isNotNull())
+                .select(
+                    "url",
+                    "warc_ts",
+                    F.lit(False).alias("keep"),
+                    F.col("_early_drop").alias("drop_reason"),
+                )
+            )
+            chunk = chunk.filter(F.col("_early_drop").isNull()).drop("_early_drop")
         chunk = with_extracted_text(chunk)
         chunk = chunk.repartition(partitions, F.xxhash64("url"))
         chunk = chunk.withColumn("text_scrubbed", scrub_text(F.col("text")))
@@ -265,6 +343,10 @@ def run_filter_job(
         out = chunk.select(
             *[c for c in OUTPUT_COLUMNS + extra_cols if c in chunk.columns]
         )
+        if early is not None:
+            # early-dropped rows carry url/warc_ts/keep/drop_reason; the
+            # scoring columns they never reached are null-filled
+            out = out.unionByName(early, allowMissingColumns=True)
         out.write.mode("overwrite").parquet(path)
         if cached_chunk is not None:
             cached_chunk.unpersist()
@@ -301,6 +383,8 @@ def run_filter_job(
                 "gopher": bool(gopher),
                 "resample_weights": resample_weights,
                 "decontaminate": decontaminate_benchmark is not None,
+                "blocklist": blocklist_domains is not None,
+                "url_dedup": bool(url_dedup),
             },
             "wall_sec": round(time.time() - t_start, 2),
         }
@@ -362,6 +446,10 @@ def main():
                          '\'{"head": 1.0, "middle": 0.5, "tail": 0.1}\'')
     ap.add_argument("--decontaminate", default=None,
                     help="parquet path of a benchmark set with a text column")
+    ap.add_argument("--blocklist", default=None,
+                    help="parquet path of blocked domains (domain column)")
+    ap.add_argument("--url-dedup", action="store_true",
+                    help="early-drop crawl duplicates of the same canonical URL")
     args = ap.parse_args()
 
     from ..spark.session import get_spark
@@ -380,6 +468,9 @@ def main():
         if args.resample_weights else None,
         decontaminate_benchmark=spark.read.parquet(args.decontaminate)
         if args.decontaminate else None,
+        blocklist_domains=spark.read.parquet(args.blocklist)
+        if args.blocklist else None,
+        url_dedup=args.url_dedup,
     )
     print(json.dumps(totals))
 

@@ -211,6 +211,8 @@ def test_filter_job_optin_stages_compose(spark, pages, tmp_path):
         "gopher": True,
         "resample_weights": {"head": 0.5, "middle": 0.5, "tail": 0.5},
         "decontaminate": True,
+        "blocklist": False,
+        "url_dedup": False,
     }
     # resumability with stages on: rerun skips everything, totals identical
     t2 = run_filter_job(
@@ -222,3 +224,73 @@ def test_filter_job_optin_stages_compose(spark, pages, tmp_path):
     assert (t2["docs"], t2["kept"], t2["by_reason"]) == (
         t["docs"], t["kept"], t["by_reason"]
     )
+
+
+def test_filter_job_url_dedup_and_blocklist(spark, pages, tmp_path):
+    """r4 early-drop stages: canonical-URL crawl dedup (earliest warc_ts
+    wins; chunking switches to the canonical url hash so duplicate families
+    co-locate) and broadcast domain blocklisting — both applied on the url
+    column BEFORE extraction/scoring, so dropped rows carry null scoring
+    columns in the output."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from kenlm_rs_spark.pipeline.filter_job import run_filter_job
+
+    # re-crawls of every row_id%10==0 page: tracking-param + fragment
+    # variants of the same canonical URL, one day later
+    dups = (
+        pages.filter(F.col("row_id") % 10 == 0)
+        .withColumn("url", F.concat("url", F.lit("?utm_source=feed#frag")))
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY"))
+        .withColumn("row_id", F.col("row_id") + 1_000_000)
+    )
+    n_dups = dups.count()
+    assert n_dups == N_DOCS // 10
+    spam = spark.createDataFrame(
+        [
+            (
+                f"https://bad.spamdomain.net/p{i}",
+                dt.datetime(2025, 3, 1, 0, 0, i),
+                b"<html><body><p>spam spam</p></body></html>",
+                "spam text entirely here " * 10,
+                "en",
+                2_000_000 + i,
+            )
+            for i in range(5)
+        ],
+        pages.schema,
+    )
+    all_pages = pages.unionByName(dups).unionByName(spam)
+    bl = spark.createDataFrame([("SpamDomain.NET",)], "domain string")
+
+    out = str(tmp_path / "out_urls")
+    t = run_filter_job(
+        spark, all_pages, out, LM_DIR, n_chunks=2,
+        blocklist_domains=bl, url_dedup=True,
+    )
+    assert t["docs"] == N_DOCS + n_dups + 5
+    assert t["by_reason"].get("url_duplicate") == n_dups
+    assert t["by_reason"].get("blocked_domain") == 5
+
+    written = spark.read.parquet(os.path.join(out, "chunk=0")).unionByName(
+        spark.read.parquet(os.path.join(out, "chunk=1"))
+    )
+    early = written.filter(
+        F.col("drop_reason").isin("url_duplicate", "blocked_domain")
+    )
+    # early-dropped rows never reached scoring: null scoring columns
+    assert early.filter(F.col("ppl").isNotNull()).count() == 0
+    assert early.filter(F.col("lang_pred").isNotNull()).count() == 0
+    # every duplicate's ORIGINAL survived the dedup (and was scored)
+    originals = written.join(
+        early.filter(F.col("drop_reason") == "url_duplicate").select(
+            F.regexp_replace("url", r"\?utm_source=feed#frag$", "").alias("url")
+        ),
+        "url",
+    )
+    assert originals.count() == n_dups
+    assert originals.filter(F.col("drop_reason") == "url_duplicate").count() == 0
+    m = json.load(open(os.path.join(out, "_chunk_0.json")))
+    assert m["stages"]["blocklist"] is True and m["stages"]["url_dedup"] is True
