@@ -801,6 +801,27 @@ def q_token_budget_mix(spark, sf_dir):
     return out.select("doc_id", "group", "tokens", "cum_tokens", "mix_keep")
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Distilled linear quality classifier (pipeline/classifier.py — the
+    CCNet-paper cheap alternative to LM filtering): frozen logistic weights
+    over the round-6 heuristic features, applied as a pure codegen
+    expression; score = the linear logit (engine-exact double arithmetic,
+    no transcendentals), pred_keep = z >= 0. Oracle renders the SAME frozen
+    constants in SQL."""
+    from kenlm_rs_spark.pipeline.classifier import (
+        classifier_keep_col,
+        classifier_score_col,
+    )
+
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(classifier_score_col(t), 6).alias("score"),
+        classifier_keep_col(t).alias("pred_keep"),
+    )
+
+
 def q_fuzzy_dedup_e2e(spark, sf_dir):
     """The full production fuzzy-dedup shape in one row: MinHash-LSH
     blocking -> exact Jaccard verify on candidates (ops/dedup.py) ->
@@ -884,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix": q_token_budget_mix,
         "nfc_normalize": q_nfc_normalize,
         "fuzzy_dedup_e2e": q_fuzzy_dedup_e2e,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -906,6 +928,7 @@ def oracle_sql() -> dict[str, str]:
         canonical_url_sql_expr,
         registered_domain_sql_expr,
     )
+    from kenlm_rs_spark.pipeline.classifier import classifier_sql_query
 
     toks = _with_toks()
     stop_list = "['" + "','".join(ts.STOPWORDS) + "']"
@@ -1803,6 +1826,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(nfc_normalize(text || '{NFC_PROBE}')) AS nfc_md5
             FROM documents
         """,
+        "quality_classifier": classifier_sql_query("documents", "text"),
         "fuzzy_dedup_e2e": f"""
             WITH RECURSIVE pairs AS (
               {lsh_pairs_sql}

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "token_budget_mix",
     "nfc_normalize",
     "fuzzy_dedup_e2e",
+    "quality_classifier",
 ]
 
 
