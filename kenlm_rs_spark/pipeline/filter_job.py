@@ -87,6 +87,7 @@ def run_filter_job(
     decontaminate_benchmark: DataFrame | None = None,
     blocklist_domains: DataFrame | None = None,
     url_dedup: bool = False,
+    classifier_prefilter: float | None = None,
 ) -> dict:
     """Returns the aggregate metrics dict. Re-running with the same
     output_dir resumes: completed chunks are skipped.
@@ -121,7 +122,13 @@ def run_filter_job(
       canonical URL (ops/urls.canonical_url), earliest (warc_ts, url)
       wins; drop_reason 'url_duplicate'. Chunking switches to the
       canonical URL's hash so every duplicate family lands in one chunk
-      and the per-chunk groupBy is globally correct."""
+      and the per-chunk groupBy is globally correct.
+    - ``classifier_prefilter=<logit threshold>``: drop docs whose frozen
+      linear-classifier logit (pipeline/classifier.py, pure codegen over
+      the heuristic features) is below the threshold BEFORE the Arrow
+      langid+scoring stage — the CCNet-paper cheap prefilter; dropped docs
+      get drop_reason 'classifier_low' and never cross into Python. The
+      scrubbed chunk is cached so the split does not re-extract."""
     os.makedirs(output_dir, exist_ok=True)
     partitions = partitions_per_chunk or int(
         spark.conf.get("spark.sql.shuffle.partitions")
@@ -264,6 +271,29 @@ def run_filter_job(
         chunk = chunk.repartition(partitions, F.xxhash64("url"))
         chunk = chunk.withColumn("text_scrubbed", scrub_text(F.col("text")))
         chunk = rule_columns(chunk, text_col="text_scrubbed")
+        caches: list[DataFrame] = []
+        early_clf = None
+        if classifier_prefilter is not None:
+            from .classifier import classifier_score_col
+
+            # cache the extracted+scrubbed rows: both split branches read
+            # them, and without the cache each branch re-runs extraction
+            chunk = chunk.cache()
+            caches.append(chunk)
+            z = classifier_score_col(F.col("text_scrubbed"))
+            chunk = chunk.withColumn("_clf_z", z)
+            early_clf = chunk.filter(
+                F.col("_clf_z") < classifier_prefilter
+            ).select(
+                "url",
+                "warc_ts",
+                "text_scrubbed",
+                F.lit(False).alias("keep"),
+                F.lit("classifier_low").alias("drop_reason"),
+            )
+            chunk = chunk.filter(F.col("_clf_z") >= classifier_prefilter).drop(
+                "_clf_z"
+            )
         # langid + per-language scoring FUSED into one ArrowEvalPython stage
         # (spark/scoring.make_langid_score_udf — value-identical to the
         # two-stage chain, pytest-pinned; halves the JVM<->Python crossings)
@@ -293,7 +323,6 @@ def run_filter_job(
                 ),
             ).withColumn("keep", F.col("drop_reason").isNull())
             extra_cols.append("gopher_drop_reason")
-        cached_chunk = None
         if decontaminate_benchmark is not None:
             from ..ops.decontam import contamination_flags
 
@@ -303,7 +332,8 @@ def run_filter_job(
             # decision-sized rows so the chunk plan runs exactly once.
             needed = set(OUTPUT_COLUMNS + extra_cols)
             chunk = chunk.select(*[c for c in chunk.columns if c in needed])
-            cached_chunk = chunk = chunk.cache()
+            chunk = chunk.cache()
+            caches.append(chunk)
             # scrub the benchmark with the SAME scrub as the corpus side:
             # both sides of the overlap test see identical placeholders, so
             # contamination spanning emails/URLs still matches (the raw-text
@@ -347,9 +377,11 @@ def run_filter_job(
             # early-dropped rows carry url/warc_ts/keep/drop_reason; the
             # scoring columns they never reached are null-filled
             out = out.unionByName(early, allowMissingColumns=True)
+        if early_clf is not None:
+            out = out.unionByName(early_clf, allowMissingColumns=True)
         out.write.mode("overwrite").parquet(path)
-        if cached_chunk is not None:
-            cached_chunk.unpersist()
+        for c in caches:
+            c.unpersist()
 
         # metrics from the written chunk (exact, cheap — it's already on disk)
         written = spark.read.parquet(path)
@@ -385,6 +417,7 @@ def run_filter_job(
                 "decontaminate": decontaminate_benchmark is not None,
                 "blocklist": blocklist_domains is not None,
                 "url_dedup": bool(url_dedup),
+                "classifier_prefilter": classifier_prefilter,
             },
             "wall_sec": round(time.time() - t_start, 2),
         }
@@ -450,6 +483,9 @@ def main():
                     help="parquet path of blocked domains (domain column)")
     ap.add_argument("--url-dedup", action="store_true",
                     help="early-drop crawl duplicates of the same canonical URL")
+    ap.add_argument("--classifier-prefilter", type=float, default=None,
+                    help="drop docs with frozen-classifier logit below this "
+                         "threshold before the Arrow scoring stage")
     args = ap.parse_args()
 
     from ..spark.session import get_spark
@@ -471,6 +507,7 @@ def main():
         blocklist_domains=spark.read.parquet(args.blocklist)
         if args.blocklist else None,
         url_dedup=args.url_dedup,
+        classifier_prefilter=args.classifier_prefilter,
     )
     print(json.dumps(totals))
 

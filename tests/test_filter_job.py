@@ -213,6 +213,7 @@ def test_filter_job_optin_stages_compose(spark, pages, tmp_path):
         "decontaminate": True,
         "blocklist": False,
         "url_dedup": False,
+        "classifier_prefilter": None,
     }
     # resumability with stages on: rerun skips everything, totals identical
     t2 = run_filter_job(
@@ -294,3 +295,42 @@ def test_filter_job_url_dedup_and_blocklist(spark, pages, tmp_path):
     assert originals.filter(F.col("drop_reason") == "url_duplicate").count() == 0
     m = json.load(open(os.path.join(out, "_chunk_0.json")))
     assert m["stages"]["blocklist"] is True and m["stages"]["url_dedup"] is True
+
+
+def test_filter_job_classifier_prefilter(spark, pages, tmp_path):
+    """r4: the classifier prefilter drops low-logit docs BEFORE the Arrow
+    scoring stage ('classifier_low', null scoring columns) and only affects
+    docs the classifier scores below the threshold — the kept side's
+    decisions are unchanged vs a run without the prefilter."""
+    from pyspark.sql import functions as F
+
+    from kenlm_rs_spark.pipeline.filter_job import run_filter_job
+
+    base_out = str(tmp_path / "out_base")
+    t_base = run_filter_job(spark, pages, base_out, LM_DIR, n_chunks=2)
+
+    out = str(tmp_path / "out_clf")
+    t = run_filter_job(
+        spark, pages, out, LM_DIR, n_chunks=2, classifier_prefilter=-1.0
+    )
+    assert t["docs"] == t_base["docs"] == N_DOCS
+    n_low = t["by_reason"].get("classifier_low", 0)
+    assert n_low > 0, "threshold -1.0 must drop some gibberish/repetitive docs"
+
+    written = spark.read.parquet(os.path.join(out, "chunk=*"))
+    low = written.filter(F.col("drop_reason") == "classifier_low")
+    assert low.count() == n_low
+    assert low.filter(F.col("ppl").isNotNull()).count() == 0
+    # survivors' decisions identical to the no-prefilter run
+    base = spark.read.parquet(os.path.join(base_out, "chunk=*")).select(
+        "url", F.col("keep").alias("keep_base"), F.col("drop_reason").alias("dr_base")
+    )
+    survivors = written.filter(F.col("drop_reason").isNull() | (F.col("drop_reason") != "classifier_low"))
+    j = survivors.join(base, "url")
+    assert j.count() == N_DOCS - n_low
+    assert j.filter(
+        (F.col("keep") != F.col("keep_base"))
+        | ~(F.col("drop_reason").eqNullSafe(F.col("dr_base")))
+    ).count() == 0
+    m = json.load(open(os.path.join(out, "_chunk_0.json")))
+    assert m["stages"]["classifier_prefilter"] == -1.0
