@@ -72,8 +72,13 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"({changed} labels still changing) — the graph has a longer path "
+        "than expected for a near-dup workload; raise max_iter or switch "
+        "to large-star/small-star (Kiveris et al. 2014)"
+    )
 
 
 def dedup_clusters(

@@ -78,3 +78,44 @@ def test_mixing_token_budget(spark):
     # group with no budget: first row kept, budget otherwise 0
     assert rows[5]["mix_keep"] is True
     assert rows[5]["cum_tokens"] == 1
+
+
+def test_components_nonconvergence_raises(spark):
+    """Exhausting max_iter must raise, never return wrong components."""
+    import pytest as _pt
+
+    from kenlm_rs_spark.ops.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "src long, dst long"
+    )
+    with _pt.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
+
+
+def test_new_ops_plan_laws(spark):
+    """Plan-shape laws for the r4 operators: canonicalization is a narrow
+    map (zero Exchange); token_budget_mix has exactly ONE Exchange (the
+    group partitioning for its window); blocklist joins via broadcast."""
+    from pyspark.sql import functions as F
+
+    from kenlm_rs_spark.ops.mixing import token_budget_mix
+    from kenlm_rs_spark.ops.urls import canonical_url, registered_domain
+
+    docs = spark.range(100).selectExpr(
+        "id AS doc_id",
+        "'https://Site' || id || '.Example.COM:443/a/' || id || '?utm_source=x#f' AS url",
+        "'en' AS lang",
+        "'tok tok tok' AS text",
+    )
+    canon_plan = (
+        docs.select(canonical_url(F.col("url")), registered_domain(F.col("url")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in canon_plan
+
+    mix_plan = (
+        token_budget_mix(docs, {"en": 100})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert mix_plan.count("Exchange") == 1
