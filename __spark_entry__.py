@@ -801,6 +801,25 @@ def q_token_budget_mix(spark, sf_dir):
     return out.select("doc_id", "group", "tokens", "cum_tokens", "mix_keep")
 
 
+def q_url_pattern_filter(spark, sf_dir):
+    """Ordered regex URL block patterns (ops/urls.URL_BLOCK_PATTERNS,
+    first-match-wins when-chain — one codegen projection, no join); the
+    oracle renders the same shared pattern list in SQL."""
+    from kenlm_rs_spark.ops.urls import url_pattern_filter
+
+    urls = _synth_url(_docs(spark, sf_dir))
+    return url_pattern_filter(urls)
+
+
+def q_corpus_report(spark, sf_dir):
+    """Per-(lang, source) corpus accounting (ops/reports.py): docs, token
+    mass, avg chars, exact distinct fingerprints — one low-cardinality
+    groupBy with map-side combine."""
+    from kenlm_rs_spark.ops.reports import corpus_report
+
+    return corpus_report(_docs(spark, sf_dir))
+
+
 def q_quality_classifier(spark, sf_dir):
     """Distilled linear quality classifier (pipeline/classifier.py — the
     CCNet-paper cheap alternative to LM filtering): frozen logistic weights
@@ -906,6 +925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": q_nfc_normalize,
         "fuzzy_dedup_e2e": q_fuzzy_dedup_e2e,
         "quality_classifier": q_quality_classifier,
+        "url_pattern_filter": q_url_pattern_filter,
+        "corpus_report": q_corpus_report,
     }
 
 
@@ -928,6 +949,7 @@ def oracle_sql() -> dict[str, str]:
         canonical_url_sql_expr,
         registered_domain_sql_expr,
     )
+    from kenlm_rs_spark.ops.urls import url_pattern_reason_sql_expr
     from kenlm_rs_spark.pipeline.classifier import classifier_sql_query
 
     toks = _with_toks()
@@ -1827,6 +1849,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "quality_classifier": classifier_sql_query("documents", "text"),
+        "url_pattern_filter": f"""
+            WITH u AS ({_URL_SYNTH_SQL}),
+            r AS (SELECT doc_id, {url_pattern_reason_sql_expr('url')} AS block_reason
+                  FROM u)
+            SELECT doc_id, block_reason, block_reason IS NOT NULL AS blocked
+            FROM r
+        """,
+        "corpus_report": f"""
+            SELECT lang, source, count(*) AS n_docs,
+                   CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+                   round(avg(length(text)), 6) AS avg_chars,
+                   CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)),
+                        '[\\x00\\t\\n\\r ]+', ' ', 'g'))) AS BIGINT)
+                     AS distinct_fingerprints
+            FROM {toks}
+            GROUP BY lang, source
+        """,
         "fuzzy_dedup_e2e": f"""
             WITH RECURSIVE pairs AS (
               {lsh_pairs_sql}

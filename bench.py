@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "nfc_normalize",
     "fuzzy_dedup_e2e",
     "quality_classifier",
+    "url_pattern_filter",
+    "corpus_report",
 ]
 
 

@@ -123,6 +123,51 @@ def blocklist_filter(
     )
 
 
+# ordered (name, regex) URL block patterns — unanchored search semantics,
+# portable regex subset (Spark rlike == DuckDB regexp_matches); first match
+# wins. A real deployment swaps in its own list (UT1 blocklists etc.);
+# the mechanism — ordered codegen regex chain, no join at all — is the point.
+URL_BLOCK_PATTERNS: list[tuple[str, str]] = [
+    ("adult", r"(porn|xxx+|adult-content)"),
+    ("gambling", r"(casino|poker|bets?[0-9])"),
+    ("shortener", r"://(bit\.ly|t\.co|goo\.gl|tinyurl\.com)/"),
+    ("fragment_nav", r"#frag$"),
+    ("tracking_query", r"[?&]utm_[a-z0-9_]+="),
+]
+
+
+def url_pattern_reason(url: Column, patterns=None) -> Column:
+    """First matching pattern name (null if none) — a pure when-chain, one
+    codegen projection, zero shuffle/join."""
+    pats = patterns if patterns is not None else URL_BLOCK_PATTERNS
+    reason = F.lit(None).cast("string")
+    for name, pat in reversed(pats):
+        reason = F.when(url.rlike(pat), F.lit(name)).otherwise(reason)
+    return reason
+
+
+def url_pattern_filter(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id", patterns=None
+) -> DataFrame:
+    """(id, block_reason, blocked) against the ordered pattern list."""
+    reason = url_pattern_reason(F.col(url_col), patterns)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        reason.alias("block_reason"),
+        reason.isNotNull().alias("blocked"),
+    )
+
+
+def url_pattern_reason_sql_expr(col: str, patterns=None) -> str:
+    """The SAME first-match-wins chain as SQL (shared pattern list)."""
+    pats = patterns if patterns is not None else URL_BLOCK_PATTERNS
+    expr = "CAST(NULL AS VARCHAR)"
+    for name, pat in reversed(pats):
+        p = pat.replace("'", "''")
+        expr = f"CASE WHEN regexp_matches({col}, '{p}') THEN '{name}' ELSE {expr} END"
+    return expr
+
+
 # -- DuckDB oracle twins (same constants, SQL rendering) -------------------
 
 def _q(pattern: str) -> str:

@@ -97,3 +97,48 @@ def test_blocklist_filter_broadcast_and_semantics(spark):
     assert got == {1: True, 2: False, 3: True}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_url_pattern_filter_first_match_wins(spark):
+    from kenlm_rs_spark.ops.urls import url_pattern_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://my-casino.example.com/?utm_source=x"),  # gambling before tracking
+            (2, "https://ok.example.com/page?utm_campaign=z"),
+            (3, "https://bit.ly/abc"),
+            (4, "https://clean.example.com/a"),
+            (5, "https://x.example.com/p#frag"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["doc_id"]: r["block_reason"] for r in url_pattern_filter(docs).collect()}
+    assert got == {
+        1: "gambling",
+        2: "tracking_query",
+        3: "shortener",
+        4: None,
+        5: "fragment_nav",
+    }
+    plan = url_pattern_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_corpus_report_values(spark):
+    from kenlm_rs_spark.ops.reports import corpus_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s1"),
+            (2, "a b c", "en", "s1"),     # exact dup of 1
+            (3, "d e", "en", "s1"),
+            (4, "x", "de", "s2"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {(r["lang"], r["source"]): r for r in corpus_report(docs).collect()}
+    en = rows[("en", "s1")]
+    assert en["n_docs"] == 3
+    assert en["total_tokens"] == 8
+    assert en["distinct_fingerprints"] == 2
+    assert rows[("de", "s2")]["n_docs"] == 1
