@@ -820,6 +820,23 @@ def q_corpus_report(spark, sf_dir):
     return corpus_report(_docs(spark, sf_dir))
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al. 2003 / MOSS,
+    ops/winnow.py): md5-prefix k-gram hashes, window-minimum selection —
+    any shared substring of length >= k+w-1 guarantees a shared
+    fingerprint. The oracle reproduces the exact sets via the same
+    lexicographic-min hash law in DuckDB list comprehensions."""
+    from kenlm_rs_spark.ops.winnow import winnow_fingerprints
+
+    docs = _docs(spark, sf_dir)
+    fps = winnow_fingerprints(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fps"),
+        F.md5(F.array_join(fps, ",")).alias("fps_md5"),
+    )
+
+
 def q_quality_classifier(spark, sf_dir):
     """Distilled linear quality classifier (pipeline/classifier.py — the
     CCNet-paper cheap alternative to LM filtering): frozen logistic weights
@@ -927,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "url_pattern_filter": q_url_pattern_filter,
         "corpus_report": q_corpus_report,
+        "winnow_fingerprints": q_winnow_fingerprints,
     }
 
 
@@ -950,6 +968,7 @@ def oracle_sql() -> dict[str, str]:
         registered_domain_sql_expr,
     )
     from kenlm_rs_spark.ops.urls import url_pattern_reason_sql_expr
+    from kenlm_rs_spark.ops.winnow import kgram_hashes_sql, winnow_from_hashes_sql
     from kenlm_rs_spark.pipeline.classifier import classifier_sql_query
 
     toks = _with_toks()
@@ -1849,6 +1868,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "quality_classifier": classifier_sql_query("documents", "text"),
+        "winnow_fingerprints": f"""
+            WITH h AS (
+              SELECT doc_id, {kgram_hashes_sql("text")} AS hs
+              FROM documents
+            ), fps AS (
+              SELECT doc_id, {winnow_from_hashes_sql("hs")} AS f FROM h
+            )
+            SELECT doc_id, CAST(len(f) AS BIGINT) AS n_fps,
+                   md5(array_to_string(f, ',')) AS fps_md5
+            FROM fps
+        """,
         "url_pattern_filter": f"""
             WITH u AS ({_URL_SYNTH_SQL}),
             r AS (SELECT doc_id, {url_pattern_reason_sql_expr('url')} AS block_reason

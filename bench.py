@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "quality_classifier",
     "url_pattern_filter",
     "corpus_report",
+    "winnow_fingerprints",
 ]
 
 
