@@ -837,6 +837,17 @@ def q_winnow_fingerprints(spark, sf_dir):
     )
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Substring-overlap candidate pairs from winnowed fingerprints
+    (freq-capped inverted index, >= 20 shared fingerprints — the
+    positional-guarantee blocking complement to MinHash-LSH)."""
+    from kenlm_rs_spark.ops.winnow import winnow_candidate_pairs
+
+    return winnow_candidate_pairs(
+        _docs(spark, sf_dir), max_fp_freq=50, min_shared=20
+    ).select("id_a", "id_b", "shared_fps")
+
+
 def q_quality_classifier(spark, sf_dir):
     """Distilled linear quality classifier (pipeline/classifier.py — the
     CCNet-paper cheap alternative to LM filtering): frozen logistic weights
@@ -945,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_pattern_filter": q_url_pattern_filter,
         "corpus_report": q_corpus_report,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_pairs": q_winnow_pairs,
     }
 
 
@@ -1878,6 +1890,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(len(f) AS BIGINT) AS n_fps,
                    md5(array_to_string(f, ',')) AS fps_md5
             FROM fps
+        """,
+        "winnow_pairs": f"""
+            WITH h AS (
+              SELECT doc_id, {kgram_hashes_sql("text")} AS hs FROM documents
+            ), f AS (
+              SELECT doc_id, unnest({winnow_from_hashes_sql("hs")}) AS fp FROM h
+            ), cap AS (
+              SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50
+            ), ff AS (
+              SELECT f.doc_id, f.fp FROM f JOIN cap USING (fp)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS shared_fps
+            FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 20
         """,
         "url_pattern_filter": f"""
             WITH u AS ({_URL_SYNTH_SQL}),

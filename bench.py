@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "url_pattern_filter",
     "corpus_report",
     "winnow_fingerprints",
+    "winnow_pairs",
 ]
 
 

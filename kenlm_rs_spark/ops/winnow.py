@@ -85,6 +85,54 @@ def winnow_table(
     )
 
 
+def winnow_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = K_GRAM,
+    w: int = WINDOW,
+    max_fp_freq: int = 50,
+    min_shared: int = 20,
+) -> DataFrame:
+    """(id_a, id_b, shared_fps): substring-overlap candidate pairs sharing
+    at least ``min_shared`` winnowed fingerprints.
+
+    ``max_fp_freq`` drops boilerplate fingerprints before the self-join —
+    the same fan-out cap as the shingle inverted index (a fingerprint in f
+    docs contributes f^2 candidate rows; capping bounds the join at
+    corpus scale). One groupBy for the cap, one fingerprint-keyed
+    self-join, one pair aggregate — uniform md5-prefix keys throughout."""
+    # cache the exploded fingerprint table: it feeds the frequency cap AND
+    # both self-join sides, and Catalyst does not reuse the Arrow-UDF
+    # subtree across them (the same no-CSE finding as the shingle tables,
+    # BENCH/BASELINE.md r3 — measured 3x the UDF cost uncached)
+    t = winnow_table(df, id_col, text_col, k, w).cache()
+    freq_ok = t.groupBy("fingerprint").agg(F.count("*").alias("_df")).filter(
+        F.col("_df") <= max_fp_freq
+    )
+    # plain (shuffle) join on the uniform fingerprint key: the surviving-
+    # fingerprint set is corpus-sized at scale, so broadcasting it would be
+    # wrong — AQE may still choose broadcast when it measures small
+    tt = t.join(freq_ok.select("fingerprint"), "fingerprint")
+    a, b = tt.alias("a"), tt.alias("b")
+    out = (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    # unpersist handle for long-lived sessions (same contract as the other
+    # dedup ops — the cache must outlive this lazy plan)
+    out.cached_deps = [t]
+    return out
+
+
 # ---- DuckDB oracle twins -------------------------------------------------
 
 def kgram_hashes_sql(col: str, k: int = K_GRAM) -> str:

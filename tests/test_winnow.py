@@ -84,3 +84,24 @@ def test_winnow_table_candidate_blocking(spark):
     got = {(r["x"], r["y"]) for r in pairs}
     assert (1, 2) in got
     assert not any(3 in p for p in got)
+
+
+def test_winnow_candidate_pairs_and_cached_deps(spark):
+    from kenlm_rs_spark.ops.winnow import winnow_candidate_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "completely original sentence about databases and queries today"),
+            (2, "prefix then a completely original sentence about databases and queries too"),
+            (3, "zzz qqq vvv unrelated gibberish content 12345 67890 zig zag"),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_candidate_pairs(df, max_fp_freq=10, min_shared=3)
+    rows = {(r["id_a"], r["id_b"]): r["shared_fps"] for r in out.collect()}
+    assert (1, 2) in rows and rows[(1, 2)] >= 3
+    assert not any(3 in p for p in rows)
+    deps = out.cached_deps
+    assert deps and all(d.is_cached for d in deps)
+    for d in deps:
+        d.unpersist()
