@@ -837,6 +837,17 @@ def q_winnow_fingerprints(spark, sf_dir):
     )
 
 
+def q_temperature_sample(spark, sf_dir):
+    """Temperature-based multilingual rebalancing at alpha=1/2 (Lample &
+    Conneau 2019 / XLM-R sampling; ops/mixing.temperature_sample): rates
+    from one tiny groupBy, deterministic md5-keyed per-row keep. alpha is
+    pinned to 1/2 so the only irrational op is IEEE-exact sqrt — the rate
+    arithmetic is engine-identical."""
+    from kenlm_rs_spark.ops.mixing import temperature_sample
+
+    return temperature_sample(_docs(spark, sf_dir), target_total=300)
+
+
 def q_winnow_pairs(spark, sf_dir):
     """Substring-overlap candidate pairs from winnowed fingerprints
     (freq-capped inverted index, >= 20 shared fingerprints — the
@@ -957,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
+        "temperature_sample": q_temperature_sample,
     }
 
 
@@ -1890,6 +1902,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(len(f) AS BIGINT) AS n_fps,
                    md5(array_to_string(f, ',')) AS fps_md5
             FROM fps
+        """,
+        "temperature_sample": """
+            WITH c AS (
+              SELECT lang AS grp, count(*) AS n_g FROM documents GROUP BY 1
+            ), t AS (
+              SELECT sum(sqrt(CAST(n_g AS DOUBLE))) AS s_sqrt FROM c
+            ), r AS (
+              SELECT grp, CAST(n_g AS BIGINT) AS n_g,
+                     round(least(1.0,
+                       300.0 * (sqrt(CAST(n_g AS DOUBLE)) / s_sqrt) / n_g), 6)
+                       AS keep_rate
+              FROM c, t
+            )
+            SELECT d.doc_id, d.lang AS "group", r.n_g, r.keep_rate,
+                   round(('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         / 4294967296.0, 9) AS sample_u,
+                   round(('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         / 4294967296.0, 9) < r.keep_rate AS temp_keep
+            FROM documents d JOIN r ON r.grp = d.lang
         """,
         "winnow_pairs": f"""
             WITH h AS (

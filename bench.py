@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "corpus_report",
     "winnow_fingerprints",
     "winnow_pairs",
+    "temperature_sample",
 ]
 
 

@@ -58,3 +58,62 @@ def token_budget_mix(
         | (F.row_number().over(w) == 1),
     )
     return out.select("doc_id", F.col("grp").alias("group"), "tokens", "cum_tokens", "mix_keep")
+
+
+def temperature_sample(
+    df: DataFrame,
+    target_total: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "temp",
+) -> DataFrame:
+    """Temperature-based group rebalancing at alpha = 1/2 (the multilingual
+    sampling of Lample & Conneau 2019 / XLM-R: sample group g with
+    probability q_g proportional to p_g^alpha, p_g = n_g/N — upweighting
+    tail languages relative to their natural share). Realized as a
+    deterministic per-row keep: rate_g = min(1, target_total * q_g / n_g),
+    kept iff the md5-keyed u(seed:id) < rate_g (the same keyed-randomness
+    primitive as pipeline/quality.bucket_resample — reruns, resumes and a
+    SQL oracle reproduce the exact sample).
+
+    alpha is FIXED at 1/2 so the only non-rational operation is sqrt, which
+    IEEE 754 requires correctly rounded — the rate arithmetic is therefore
+    bit-identical across engines (a general-alpha variant would go through
+    pow(), whose last-ulp behavior is libm-specific; rates are additionally
+    round-6'd). Rates come from one tiny groupBy (G rows) cross-joined
+    back — no collect, no window over the corpus."""
+    from ..pipeline.quality import resample_u_col
+
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n_g")
+    )
+    tot = counts.agg(
+        F.sum("n_g").alias("n_total"),
+        F.sum(F.sqrt(F.col("n_g").cast("double"))).alias("s_sqrt"),
+    )
+    # q_g = sqrt(n_g/N) / sum_h sqrt(n_h/N) = sqrt(n_g) / sum_h sqrt(n_h)
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        "n_g",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_total))
+                * (F.sqrt(F.col("n_g").cast("double")) / F.col("s_sqrt"))
+                / F.col("n_g"),
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+    out = (
+        df.select(
+            F.col(id_col).alias("doc_id"), F.col(group_col).alias("grp")
+        )
+        .join(F.broadcast(rates), "grp")
+        .withColumn("sample_u", F.round(resample_u_col("doc_id", seed), 9))
+        .withColumn("temp_keep", F.col("sample_u") < F.col("keep_rate"))
+    )
+    return out.select(
+        "doc_id", F.col("grp").alias("group"), "n_g", "keep_rate",
+        "sample_u", "temp_keep",
+    )

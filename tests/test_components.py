@@ -119,3 +119,30 @@ def test_new_ops_plan_laws(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert mix_plan.count("Exchange") == 1
+
+
+def test_temperature_sample_rebalances_tail_groups(spark):
+    """alpha=1/2 sampling keeps a LARGER fraction of small groups than big
+    ones; expected kept counts per group track target_total * q_g."""
+    from pyspark.sql import functions as F
+
+    from kenlm_rs_spark.ops.mixing import temperature_sample
+
+    rows = [(i, "big") for i in range(3000)] + [
+        (10_000 + i, "small") for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, target_total=1000).cache()
+    rates = {r["group"]: r["keep_rate"] for r in out.select("group", "keep_rate").distinct().collect()}
+    assert rates["small"] > rates["big"]
+    import math
+
+    s = math.sqrt(3000) + math.sqrt(120)
+    for g, n in (("big", 3000), ("small", 120)):
+        expect = min(1.0, 1000 * (math.sqrt(n) / s) / n)
+        assert rates[g] == round(expect, 6), g
+        kept = out.filter((F.col("group") == g) & F.col("temp_keep")).count()
+        assert abs(kept - n * rates[g]) < 4 * (n * rates[g]) ** 0.5 + 5, (g, kept)
+    # determinism under repartitioning
+    out2 = temperature_sample(df.repartition(13), target_total=1000)
+    assert out2.filter("temp_keep").count() == out.filter("temp_keep").count()
