@@ -745,6 +745,46 @@ def q_url_canonicalize(spark, sf_dir):
     )
 
 
+# suffix cycle for the registered_domain_psl gate row: multi-label public
+# suffixes (the PSL snapshot cases) interleaved with plain TLDs; both
+# engines synthesize the identical hosts from this ONE list
+_PSL_GATE_SUFFIXES = [
+    "co.uk", "com.au", "co.jp", "gov.uk", "com.br", "co.in", "com",
+    "org", "net", "io", "de", "ne.jp", "ac.uk", "co.kr",
+]
+
+
+def q_registered_domain_psl(spark, sf_dir):
+    """Public-suffix-aware registered domain (ops/urls.py PSL snapshot —
+    VERDICT r4 item 2): synthesized hosts cycle through multi-label public
+    suffixes and plain TLDs; the PSL column keeps example.co.uk intact
+    where the naive column collapses it to co.uk. Oracle renders the SAME
+    shared regex constants + suffix list in SQL."""
+    from kenlm_rs_spark.ops.urls import registered_domain
+
+    docs = _docs(spark, sf_dir)
+    n = len(_PSL_GATE_SUFFIXES)
+    sfx = F.element_at(
+        F.array(*[F.lit(s) for s in _PSL_GATE_SUFFIXES]),
+        (F.col("doc_id") % n + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://Site"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit("."),
+        sfx,
+        F.lit(":443/p?id="),
+        F.col("doc_id").cast("string"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        registered_domain(F.col("url")).alias("domain_naive"),
+        registered_domain(F.col("url"), psl=True).alias("domain_psl"),
+    )
+
+
 def q_url_dedup(spark, sf_dir):
     """URL-level dedup: first doc (min id) per canonical URL survives — one
     groupBy on the full canonical URL (uniform key, mega-domain-proof)."""
@@ -846,6 +886,19 @@ def q_temperature_sample(spark, sf_dir):
     from kenlm_rs_spark.ops.mixing import temperature_sample
 
     return temperature_sample(_docs(spark, sf_dir), target_total=300)
+
+
+def q_temperature_sample_a07(spark, sf_dir):
+    """Temperature rebalancing at the canonical XLM-R alpha=0.7 (VERDICT r4
+    item 3 — general alpha). 0.7 is not dyadic, so both engines evaluate
+    pow(n_g, 0.7); the round-6 keep_rate absorbs libm last-ulp differences
+    (dyadic alphas like 0.75 instead compile to IEEE-exact sqrt products —
+    ops/mixing.pow_alpha_col, shared-source with the SQL twin)."""
+    from kenlm_rs_spark.ops.mixing import temperature_sample
+
+    return temperature_sample(
+        _docs(spark, sf_dir), target_total=300, seed="temp7", alpha=0.7
+    )
 
 
 def q_winnow_pairs(spark, sf_dir):
@@ -969,6 +1022,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "temperature_sample": q_temperature_sample,
+        # r05 additions
+        "registered_domain_psl": q_registered_domain_psl,
+        "temperature_sample_a07": q_temperature_sample_a07,
     }
 
 
@@ -1015,6 +1071,12 @@ def oracle_sql() -> dict[str, str]:
     """
     url_canon = canonical_url_sql_expr("url")
     url_domain = registered_domain_sql_expr("url")
+    _psl_suffix_list_sql = (
+        "['" + "','".join(_PSL_GATE_SUFFIXES) + "']"
+    )
+    from kenlm_rs_spark.ops.mixing import pow_alpha_sql_expr
+
+    _pow07 = pow_alpha_sql_expr("CAST(n_g AS DOUBLE)", 0.7)
 
     # phrase-filter piece sets rendered as SQL IN-lists (same PhraseSets
     # source the Spark DP kernel uses)
@@ -1150,7 +1212,7 @@ def oracle_sql() -> dict[str, str]:
                    bucket, drop_reason IS NULL AS keep, drop_reason
             FROM d
         """,
-        "token_stats": f"""
+        "token_stats": rf"""
             SELECT doc_id, len(toks) AS n_tokens,
                    len(list_distinct(toks)) AS n_types,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
@@ -1921,6 +1983,37 @@ def oracle_sql() -> dict[str, str]:
                    round(('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
                          / 4294967296.0, 9) < r.keep_rate AS temp_keep
             FROM documents d JOIN r ON r.grp = d.lang
+        """,
+        "temperature_sample_a07": f"""
+            WITH c AS (
+              SELECT lang AS grp, count(*) AS n_g FROM documents GROUP BY 1
+            ), t AS (
+              SELECT sum({_pow07}) AS s_w FROM c
+            ), r AS (
+              SELECT grp, CAST(n_g AS BIGINT) AS n_g,
+                     round(least(1.0,
+                       300.0 * ({_pow07} / s_w) / n_g), 6) AS keep_rate
+              FROM c, t
+            )
+            SELECT d.doc_id, d.lang AS "group", r.n_g, r.keep_rate,
+                   round(('0x' || substr(md5('temp7:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         / 4294967296.0, 9) AS sample_u,
+                   round(('0x' || substr(md5('temp7:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         / 4294967296.0, 9) < r.keep_rate AS temp_keep
+            FROM documents d JOIN r ON r.grp = d.lang
+        """,
+        "registered_domain_psl": f"""
+            WITH u AS (
+              SELECT doc_id,
+                'https://Site' || CAST(doc_id % 37 AS VARCHAR) || '.' ||
+                ({_psl_suffix_list_sql})[CAST(doc_id % {len(_PSL_GATE_SUFFIXES)} AS INTEGER) + 1] ||
+                ':443/p?id=' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents
+            )
+            SELECT doc_id, url,
+                   {registered_domain_sql_expr('url')} AS domain_naive,
+                   {registered_domain_sql_expr('url', psl=True)} AS domain_psl
+            FROM u
         """,
         "winnow_pairs": f"""
             WITH h AS (

@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "winnow_pairs",
     "temperature_sample",
+    # added r05 (appended so r04 per-query timings stay comparable)
+    "registered_domain_psl",
+    "temperature_sample_a07",
 ]
 
 

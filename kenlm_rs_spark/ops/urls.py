@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-QUERY_RE = r"\?([^#]*)"
+# anchored to the pre-fragment region: a '?' that first appears inside the
+# fragment (SPA routes like https://h/p#a/b?c=1) is NOT a query — without
+# the anchor, fragment content leaked into the canonical URL and split
+# identical pages across dedup keys (ADVICE r4)
+QUERY_RE = r"^[^#?]*\?([^#]*)"
 
 # tracking parameters removed from the query string; (^|&) consumes the
 # separator so no replacement backreference is needed (portable: Spark $1
@@ -37,6 +41,87 @@ QUERY_RE = r"\?([^#]*)"
 TRACKING_PARAM_RE = r"(^|&)(utm_[a-z0-9_]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)=[^&]*"
 
 REGISTERED_DOMAIN_RE = r"([^.]+\.[^.]+)$"
+
+# Frozen snapshot of common MULTI-LABEL public suffixes (the ICANN section
+# of the Mozilla Public Suffix List, publicsuffix.org — public data). The
+# naive last-two-labels rule collapses every *.co.uk / *.com.au site into
+# one "domain" (example.co.uk -> co.uk), so blocklists over-block entire
+# ccTLD registries and per-domain stats merge unrelated sites (VERDICT r4
+# item 2 / ADVICE r4). This snapshot covers the high-traffic ccSLD
+# registries; a production deployment swaps in the full dated PSL dump via
+# ``extra_suffixes``. 2-label suffixes only (registered domain = 3 labels);
+# the rare 3-label geographic .jp/.uk entries are out of snapshot scope.
+PUBLIC_SUFFIX_SNAPSHOT: tuple[str, ...] = (
+    # United Kingdom
+    "ac.uk", "co.uk", "gov.uk", "ltd.uk", "me.uk", "net.uk", "nhs.uk",
+    "org.uk", "plc.uk", "sch.uk",
+    # Australia
+    "asn.au", "com.au", "edu.au", "gov.au", "id.au", "net.au", "org.au",
+    # Japan
+    "ac.jp", "ad.jp", "co.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
+    "ne.jp", "or.jp",
+    # New Zealand
+    "ac.nz", "co.nz", "geek.nz", "gen.nz", "govt.nz", "maori.nz",
+    "net.nz", "org.nz", "school.nz",
+    # Brazil
+    "com.br", "edu.br", "gov.br", "net.br", "org.br",
+    # China / Taiwan / Hong Kong / Singapore
+    "ac.cn", "com.cn", "edu.cn", "gov.cn", "net.cn", "org.cn",
+    "com.tw", "edu.tw", "gov.tw", "idv.tw", "net.tw", "org.tw",
+    "com.hk", "edu.hk", "gov.hk", "idv.hk", "net.hk", "org.hk",
+    "com.sg", "edu.sg", "gov.sg", "net.sg", "org.sg", "per.sg",
+    # Korea
+    "ac.kr", "co.kr", "go.kr", "ne.kr", "or.kr", "pe.kr", "re.kr",
+    # India
+    "ac.in", "co.in", "edu.in", "firm.in", "gen.in", "gov.in", "ind.in",
+    "net.in", "nic.in", "org.in", "res.in",
+    # South Africa / Kenya / Nigeria / Tanzania / Uganda / Zimbabwe
+    "ac.za", "co.za", "gov.za", "net.za", "org.za", "web.za",
+    "ac.ke", "co.ke", "go.ke", "ne.ke", "or.ke", "sc.ke",
+    "com.ng", "edu.ng", "gov.ng", "net.ng", "org.ng",
+    "ac.tz", "co.tz", "go.tz", "or.tz",
+    "ac.ug", "co.ug", "go.ug", "or.ug",
+    "ac.zw", "co.zw", "gov.zw", "org.zw",
+    # Latin America
+    "com.ar", "edu.ar", "gob.ar", "net.ar", "org.ar",
+    "com.mx", "edu.mx", "gob.mx", "net.mx", "org.mx",
+    "com.co", "edu.co", "gov.co", "net.co", "org.co",
+    "com.pe", "edu.pe", "gob.pe", "net.pe", "org.pe",
+    "com.ve", "co.ve", "com.uy", "edu.uy", "gub.uy", "net.uy", "org.uy",
+    "com.ec", "gob.ec", "com.bo", "com.py", "com.do", "com.gt",
+    "com.sv", "com.ni", "com.pa", "co.cr",
+    # Europe / Middle East / Turkey / Israel
+    "com.pl", "edu.pl", "gov.pl", "net.pl", "org.pl", "waw.pl",
+    "com.ua", "edu.ua", "gov.ua", "in.ua", "net.ua", "org.ua",
+    "com.tr", "edu.tr", "gov.tr", "net.tr", "org.tr",
+    "ac.il", "co.il", "gov.il", "k12.il", "muni.il", "net.il", "org.il",
+    "com.sa", "edu.sa", "gov.sa", "med.sa", "net.sa", "org.sa",
+    "com.eg", "edu.eg", "gov.eg", "com.jo", "com.lb", "com.kw",
+    "com.qa", "com.om", "com.bh",
+    # South / South-East Asia
+    "com.pk", "edu.pk", "gov.pk", "net.pk", "org.pk",
+    "com.bd", "edu.bd", "gov.bd", "net.bd", "org.bd",
+    "com.lk", "edu.lk", "gov.lk", "org.lk",
+    "com.np", "edu.np", "gov.np", "org.np",
+    "ac.th", "co.th", "go.th", "in.th", "net.th", "or.th",
+    "com.vn", "edu.vn", "gov.vn", "net.vn", "org.vn",
+    "com.ph", "edu.ph", "gov.ph", "net.ph", "org.ph",
+    "com.my", "edu.my", "gov.my", "net.my", "org.my",
+    "ac.id", "co.id", "go.id", "net.id", "or.id", "sch.id", "web.id",
+    "com.kh", "com.mm", "org.mm",
+)
+
+
+def _psl_multi_regex(extra_suffixes: tuple[str, ...] = ()) -> str:
+    """Regex matching <label>.<multi-label-public-suffix> at end of host —
+    built once per job from the frozen snapshot (plus any deployment
+    extras), compiled by both engines from the identical string."""
+    suffixes = sorted(set(PUBLIC_SUFFIX_SNAPSHOT) | set(extra_suffixes))
+    alts = "|".join(s.replace(".", r"\.") for s in suffixes)
+    return r"([^.]+\.(?:" + alts + r"))$"
+
+
+PSL_MULTI_RE = _psl_multi_regex()
 
 
 def _strip_suffix(col: Column, n: int) -> Column:
@@ -69,17 +154,29 @@ def canonical_url(url: Column) -> Column:
     )
 
 
-def registered_domain(host_or_url: Column, is_url: bool = True) -> Column:
-    """Naive registered domain = last two dot-labels of the host (a real
-    deployment swaps in the public-suffix list; the mechanism — extract,
-    normalize, group — is identical)."""
+def registered_domain(
+    host_or_url: Column, is_url: bool = True, psl: bool = False
+) -> Column:
+    """Registered domain of the host. ``psl=False`` (the historical naive
+    rule) takes the last two dot-labels; ``psl=True`` (the production path
+    — pipeline/filter_job uses it) is public-suffix-aware via the frozen
+    ``PUBLIC_SUFFIX_SNAPSHOT``: a host ending in a known multi-label public
+    suffix keeps THREE labels (example.co.uk -> example.co.uk, not co.uk),
+    with longest-suffix-wins semantics falling back to the 2-label rule.
+    A host that IS a bare public suffix has no registered domain and falls
+    through to the naive extraction (documented edge). Both modes are one
+    codegen regexp_extract — no join, no UDF."""
     host = (
         F.lower(F.regexp_extract(host_or_url, HOSTPORT_RE, 1))
         if is_url
         else F.lower(host_or_url)
     )
     host = F.regexp_replace(host, ":[0-9]+$", "")
-    return F.regexp_extract(host, REGISTERED_DOMAIN_RE, 1)
+    naive = F.regexp_extract(host, REGISTERED_DOMAIN_RE, 1)
+    if not psl:
+        return naive
+    multi = F.regexp_extract(host, PSL_MULTI_RE, 1)
+    return F.when(multi != "", multi).otherwise(naive)
 
 
 def url_dedup(
@@ -201,7 +298,11 @@ def canonical_url_sql_expr(col: str) -> str:
     )
 
 
-def registered_domain_sql_expr(col: str) -> str:
+def registered_domain_sql_expr(col: str, psl: bool = False) -> str:
     hostport = f"lower(regexp_extract({col}, '{_q(HOSTPORT_RE)}', 1))"
     host = f"regexp_replace({hostport}, ':[0-9]+$', '', 'g')"
-    return f"regexp_extract({host}, '{_q(REGISTERED_DOMAIN_RE)}', 1)"
+    naive = f"regexp_extract({host}, '{_q(REGISTERED_DOMAIN_RE)}', 1)"
+    if not psl:
+        return naive
+    multi = f"regexp_extract({host}, '{_q(PSL_MULTI_RE)}', 1)"
+    return f"(CASE WHEN {multi} <> '' THEN {multi} ELSE {naive} END)"

@@ -243,9 +243,13 @@ def run_filter_job(
                         F.lower(F.col("domain")).alias("_bl_domain")
                     ).distinct()
                 )
+                # psl=True: public-suffix-aware matching, so a blocklist
+                # entry 'badsite.co.uk' matches exactly that site and can
+                # never block the whole .co.uk registry (ADVICE r4)
                 chunk = chunk.join(
                     bl,
-                    registered_domain(F.col("url")) == F.col("_bl_domain"),
+                    registered_domain(F.col("url"), psl=True)
+                    == F.col("_bl_domain"),
                     "left",
                 )
                 # blocklist outranks url_duplicate (a blocked dup reads
@@ -347,6 +351,7 @@ def run_filter_job(
                 id_col="url",
                 text_col="text_scrubbed",
                 bench_text_col="text",
+                hashed=True,
             ).withColumnRenamed("doc_id", "url")
             chunk = chunk.join(flags.select("url", "contaminated"), "url", "left")
             chunk = chunk.withColumn(

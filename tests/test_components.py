@@ -80,17 +80,48 @@ def test_mixing_token_budget(spark):
     assert rows[5]["cum_tokens"] == 1
 
 
-def test_components_nonconvergence_raises(spark):
-    """Exhausting max_iter must raise, never return wrong components."""
-    import pytest as _pt
-
+def test_components_fallback_large_small_star(spark):
+    """Exhausting max_iter escalates to large-star/small-star (Kiveris et
+    al. 2014) and still returns correct components — never raises, never
+    returns wrong labels (VERDICT r4 item 5)."""
     from kenlm_rs_spark.ops.components import connected_components
 
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(11)], "src long, dst long"
     )
-    with _pt.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=1)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, max_iter=3).collect()
+    }
+    assert got == {i: 0 for i in range(12)}
+
+
+def test_components_adversarial_chain_converges(spark):
+    """A 200-node path (diameter 199 — templated-spam shape) through the
+    default budget: propagation stalls at 25 rounds, the star fallback
+    finishes in O(log^2 n) without raising; plus a disjoint clique to
+    check the fallback keeps components separate."""
+    from kenlm_rs_spark.ops.components import connected_components
+
+    chain = [(i, i + 1) for i in range(199)]
+    clique = [(1000 + i, 1000 + j) for i in range(4) for j in range(i + 1, 4)]
+    edges = spark.createDataFrame(chain + clique, "src long, dst long")
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    want = {i: 0 for i in range(200)}
+    want.update({1000 + i: 1000 for i in range(4)})
+    assert got == want
+
+
+def test_components_bad_max_iter(spark):
+    import pytest as _pt
+
+    from kenlm_rs_spark.ops.components import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pt.raises(ValueError, match="max_iter"):
+        connected_components(edges, max_iter=0)
 
 
 def test_new_ops_plan_laws(spark):
@@ -146,3 +177,96 @@ def test_temperature_sample_rebalances_tail_groups(spark):
     # determinism under repartitioning
     out2 = temperature_sample(df.repartition(13), target_total=1000)
     assert out2.filter("temp_keep").count() == out.filter("temp_keep").count()
+
+
+def test_pow_alpha_dyadic_and_general():
+    """dyadic_sqrt_depths binary expansions + SQL/Spark shared rendering."""
+    from kenlm_rs_spark.ops.mixing import dyadic_sqrt_depths, pow_alpha_sql_expr
+
+    assert dyadic_sqrt_depths(0.5) == [1]
+    assert dyadic_sqrt_depths(0.75) == [1, 2]
+    assert dyadic_sqrt_depths(0.375) == [2, 3]
+    assert dyadic_sqrt_depths(0.7) is None
+    assert dyadic_sqrt_depths(0.3) is None
+    assert pow_alpha_sql_expr("x", 0.5) == "(sqrt(x))"
+    assert pow_alpha_sql_expr("x", 0.75) == "(sqrt(x) * sqrt(sqrt(x)))"
+    assert pow_alpha_sql_expr("x", 0.7) == "power(x, CAST(0.7 AS DOUBLE))"
+    assert pow_alpha_sql_expr("x", 1.0) == "x"
+
+
+def test_temperature_sample_general_alpha(spark):
+    """alpha=0.7 (XLM-R) and dyadic alpha=0.75 both produce the analytic
+    rates; alpha=1.0 degenerates to uniform target/N sampling."""
+    import math
+
+    from kenlm_rs_spark.ops.mixing import temperature_sample
+
+    rows = [(i, "big") for i in range(3000)] + [
+        (10_000 + i, "small") for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    for alpha in (0.7, 0.75, 1.0):
+        out = temperature_sample(df, target_total=1000, alpha=alpha)
+        rates = {
+            r["group"]: r["keep_rate"]
+            for r in out.select("group", "keep_rate").distinct().collect()
+        }
+        s = 3000**alpha + 120**alpha
+        for g, n in (("big", 3000), ("small", 120)):
+            expect = min(1.0, 1000 * (n**alpha / s) / n)
+            assert abs(rates[g] - round(expect, 6)) <= 1e-6, (alpha, g)
+        # lower temperature (smaller alpha) upweights the tail more
+    r07 = temperature_sample(df, target_total=1000, alpha=0.7)
+    r10 = temperature_sample(df, target_total=1000, alpha=1.0)
+    small07 = {r["group"]: r["keep_rate"] for r in r07.select("group", "keep_rate").distinct().collect()}["small"]
+    small10 = {r["group"]: r["keep_rate"] for r in r10.select("group", "keep_rate").distinct().collect()}["small"]
+    assert small07 > small10
+
+
+def test_token_budget_two_phase_equivalence(spark):
+    """token_budget_mix_two_phase (no group-wide sort) selects the
+    IDENTICAL membership as the windowed oracle form, including the
+    first-row-always-kept rule and zero/absent budgets — across bucket
+    granularities and budget sizes (VERDICT r4 item 6)."""
+    from kenlm_rs_spark.ops.mixing import token_budget_mix, token_budget_mix_two_phase
+
+    docs = spark.createDataFrame(
+        [
+            (i, ["en", "de", "fr"][i % 3], "tok " * (1 + i % 17))
+            for i in range(400)
+        ],
+        "doc_id long, lang string, text string",
+    )
+    for budgets in ({"en": 300, "de": 50}, {"en": 5, "de": 0, "fr": 10**9}):
+        want = {
+            (r["doc_id"], r["mix_keep"])
+            for r in token_budget_mix(docs, budgets).collect()
+        }
+        for bc in (1, 2):
+            got = {
+                (r["doc_id"], r["mix_keep"])
+                for r in token_budget_mix_two_phase(
+                    docs, budgets, bucket_chars=bc
+                ).collect()
+            }
+            assert got == want, (budgets, bc)
+
+
+def test_token_budget_two_phase_no_group_sort(spark):
+    """Plan law: the two-phase form's window input is filtered to the
+    boundary bucket BEFORE the sort — the whole-group rows never enter a
+    Sort node (grep the plan: the window Exchange follows the action
+    filter)."""
+    from kenlm_rs_spark.ops.mixing import token_budget_mix_two_phase
+
+    docs = spark.createDataFrame(
+        [(i, "en", "tok tok tok") for i in range(500)],
+        "doc_id long, lang string, text string",
+    )
+    out = token_budget_mix_two_phase(docs, {"en": 600}, bucket_chars=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the window branch filters action = 'window' below its Sort
+    assert "action" in plan and "Window" in plan
+    # membership sanity: ~600/1500 tokens kept => about 200 docs + first row
+    kept = out.filter("mix_keep").count()
+    assert 150 <= kept <= 250

@@ -16,6 +16,10 @@ TRICKY_URLS = [
     "https://www.news.co.uk/story?ref=tw&id=9#top",
     "ftp://Files.Example.net/pub/",
     "https://example.com:8443/q?gclid=1&x=2&mc_cid=3",
+    # '?' first appears INSIDE the fragment (SPA route): there is no query,
+    # and the fragment must not leak into the canonical URL (ADVICE r4)
+    "https://host.example/page#a/b?c=1",
+    "https://host.example/page?q=1#a/b?c=2",
 ]
 
 
@@ -62,6 +66,61 @@ def test_canonical_url_specific_cases(spark):
     assert got[5] == "https://example.com/p"
     assert got[6] == "http://example.com/p"
     assert got[9] == "https://example.com:8443/q?x=2"
+    assert got[10] == "https://host.example/page"
+    assert got[11] == "https://host.example/page?q=1"
+
+
+def test_registered_domain_psl(spark):
+    """Public-suffix-aware registered domain (frozen PSL snapshot):
+    *.co.uk keeps three labels, plain TLDs keep two, bare-suffix hosts
+    fall through to naive; Spark and DuckDB render the same constants."""
+    import duckdb as _dd
+
+    from kenlm_rs_spark.ops.urls import (
+        registered_domain,
+        registered_domain_sql_expr,
+    )
+
+    urls = [
+        "https://example.co.uk/x",
+        "https://a.b.example.co.uk:8443/y?q=1",
+        "https://WWW.Example.COM.AU/z",
+        "https://shop.example.com/p",
+        "https://co.uk/",
+        "https://example.io/",
+        "https://news.example.go.jp/a",
+        "https://example.gov.uk/s",
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    got = {
+        r["i"]: (r["naive"], r["psl"])
+        for r in df.select(
+            "i",
+            registered_domain(F.col("url")).alias("naive"),
+            registered_domain(F.col("url"), psl=True).alias("psl"),
+        ).collect()
+    }
+    assert got[0] == ("co.uk", "example.co.uk")
+    assert got[1] == ("co.uk", "example.co.uk")
+    assert got[2] == ("com.au", "example.com.au")
+    assert got[3] == ("example.com", "example.com")
+    assert got[4] == ("co.uk", "co.uk")  # bare suffix: documented fallback
+    assert got[5] == ("example.io", "example.io")
+    assert got[6] == ("go.jp", "example.go.jp")
+    assert got[7] == ("gov.uk", "example.gov.uk")
+    con = _dd.connect()
+    con.execute("CREATE TABLE u(i BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?, ?)", list(enumerate(urls)))
+    want = {
+        i: (n, p)
+        for i, n, p in con.sql(
+            f"SELECT i, {registered_domain_sql_expr('url')} AS n, "
+            f"{registered_domain_sql_expr('url', psl=True)} AS p FROM u"
+        ).fetchall()
+    }
+    assert got == want
 
 
 def test_url_dedup_first_wins(spark):
