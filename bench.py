@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     # added r05 (appended so r04 per-query timings stay comparable)
     "registered_domain_psl",
     "temperature_sample_a07",
+    "image_pixel_stats",
+    "token_budget_mix_2p",
 ]
 
 

@@ -111,3 +111,102 @@ def synth_image_bytes(doc_id: int) -> bytes:
     if fmt == 1:
         return make_gif(w, h)
     return make_jpeg(w, h, ncomp=3)
+
+
+# ------------------------------------------------------- patterned pixels
+#
+# Deterministic nonzero pixel content so the REAL pixel decoders
+# (ops/multimodal.decode_pixels) have something to verify against: pixel
+# (x, y, channel) = (x*7 + y*13 + c*31) mod 256. The encoders below
+# implement the PNG scanline filters / BMP row layout FORWARD, fully
+# independently of the decoder's reverse implementations — a roundtrip
+# equality is therefore a genuine cross-check of both, and a SQL oracle
+# can recompute every statistic from the arithmetic alone.
+
+import numpy as np
+
+
+def pattern_pixels(w: int, h: int, channels: int) -> "np.ndarray":
+    """(h, w, channels) uint8 with px[y, x, c] = (x*7 + y*13 + c*31) % 256."""
+    x = np.arange(w).reshape(1, w, 1)
+    y = np.arange(h).reshape(h, 1, 1)
+    c = np.arange(channels).reshape(1, 1, channels)
+    return ((x * 7 + y * 13 + c * 31) % 256).astype(np.uint8)
+
+
+def _paeth_predict(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_filter_row(
+    ftype: int, row: "np.ndarray", prev: "np.ndarray", bpp: int
+) -> bytes:
+    """FORWARD-apply one PNG scanline filter (PNG spec §9): row/prev are
+    the reconstructed (original) bytes; returns the filtered bytes."""
+    r = row.astype(np.int32)
+    pv = prev.astype(np.int32)
+    left = np.zeros_like(r)
+    left[bpp:] = r[:-bpp]
+    if ftype == 0:
+        out = r
+    elif ftype == 1:  # Sub
+        out = (r - left) % 256
+    elif ftype == 2:  # Up
+        out = (r - pv) % 256
+    elif ftype == 3:  # Average
+        out = (r - (left + pv) // 2) % 256
+    elif ftype == 4:  # Paeth
+        ul = np.zeros_like(pv)
+        ul[bpp:] = pv[:-bpp]
+        pred = np.array(
+            [_paeth_predict(int(a), int(b), int(c)) for a, b, c in zip(left, pv, ul)],
+            dtype=np.int32,
+        )
+        out = (r - pred) % 256
+    else:
+        raise ValueError(f"bad PNG filter type {ftype}")
+    return out.astype(np.uint8).tobytes()
+
+
+def make_png_patterned(w: int, h: int, color_type: int = 2) -> bytes:
+    """Valid PNG with patterned pixels, cycling the scanline filter type
+    y % 5 so every filter (None/Sub/Up/Average/Paeth) is exercised."""
+    channels = PNG_CHANNELS[color_type]
+    px = pattern_pixels(w, h, channels)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    prev = np.zeros(w * channels, dtype=np.uint8)
+    for y in range(h):
+        row = px[y].reshape(-1)
+        ftype = y % 5
+        raw.append(ftype)
+        raw += _png_filter_row(ftype, row, prev, channels)
+        prev = row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + png_chunk(b"IHDR", ihdr)
+        + png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + png_chunk(b"IEND", b"")
+    )
+
+
+def make_bmp_patterned(w: int, h: int) -> bytes:
+    """Valid 24bpp BMP with patterned pixels: BGR byte order, bottom-up
+    rows, 4-byte row padding — the layout quirks the decoder must undo."""
+    px = pattern_pixels(w, h, 3)
+    bgr = px[..., ::-1]
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(h - 1, -1, -1):
+        r = bgr[y].tobytes()
+        rows.append(r + b"\x00" * (stride - len(r)))
+    pixels = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pixels), 0, 0, 14 + 40)
+    return header + info + pixels

@@ -1,0 +1,119 @@
+"""Real pixel decode (ops/multimodal.decode_pixels): encoder/decoder
+roundtrips over independent forward/reverse filter implementations, layout
+quirks (BMP BGR bottom-up padding), declared codec boundaries, and the
+image_pixel_stats Spark operator."""
+
+import numpy as np
+import pytest
+
+
+def test_png_roundtrip_all_color_types_and_filters():
+    """decode(make_png_patterned(...)) == the arithmetic pattern, for every
+    supported color type; the encoder cycles filter y%5 so all five PNG
+    scanline filters (None/Sub/Up/Average/Paeth) are exercised."""
+    from kenlm_rs_spark.ops.imagegen import (
+        PNG_CHANNELS,
+        make_png_patterned,
+        pattern_pixels,
+    )
+    from kenlm_rs_spark.ops.multimodal import decode_pixels
+
+    for ct in (0, 2, 4, 6):
+        for w, h in ((1, 1), (2, 2), (13, 9), (8, 32), (32, 31)):
+            got = decode_pixels(make_png_patterned(w, h, ct))
+            want = pattern_pixels(w, h, PNG_CHANNELS[ct])
+            assert got.shape == want.shape, (ct, w, h)
+            assert (got == want).all(), (ct, w, h)
+
+
+def test_bmp_roundtrip_bgr_bottom_up_padding():
+    from kenlm_rs_spark.ops.imagegen import make_bmp_patterned, pattern_pixels
+    from kenlm_rs_spark.ops.multimodal import decode_pixels
+
+    # widths chosen so the row stride padding is 0..3 bytes
+    for w, h in ((1, 1), (2, 2), (3, 5), (4, 4), (13, 9), (32, 31)):
+        got = decode_pixels(make_bmp_patterned(w, h))
+        assert (got == pattern_pixels(w, h, 3)).all(), (w, h)
+
+
+def test_decode_hand_golden_sub_filter():
+    """Hand-built 2x1 grayscale PNG with a Sub-filtered row: raw scanline
+    [filter=1, 10, 7] must reconstruct to [10, 17] — pins the unfilter
+    direction independently of the encoder."""
+    import struct
+    import zlib
+
+    from kenlm_rs_spark.ops.imagegen import png_chunk
+    from kenlm_rs_spark.ops.multimodal import decode_pixels
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+    raw = bytes([1, 10, 7])  # Sub: recon = [10, (7+10)%256=17]
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + png_chunk(b"IHDR", ihdr)
+        + png_chunk(b"IDAT", zlib.compress(raw))
+        + png_chunk(b"IEND", b"")
+    )
+    got = decode_pixels(png)
+    assert got.shape == (1, 2, 1)
+    assert got.reshape(-1).tolist() == [10, 17]
+
+
+def test_codec_boundaries_raise():
+    """JPEG/GIF/WEBP pixel paths are the declared NotImplementedError
+    boundary (entropy/LZW codecs); header metadata still parses."""
+    from kenlm_rs_spark.ops.imagegen import make_gif, make_jpeg, make_webp_vp8l
+    from kenlm_rs_spark.ops.multimodal import decode_pixels, parse_image_header
+
+    for payload in (make_jpeg(4, 3), make_gif(4, 3), make_webp_vp8l(4, 3)):
+        assert parse_image_header(payload) is not None
+        with pytest.raises(NotImplementedError):
+            decode_pixels(payload)
+
+
+def test_fixture_images_decode():
+    """The committed zero-pixel fixtures decode to all-zero arrays of the
+    advertised shapes."""
+    from kenlm_rs_spark.ops.multimodal import decode_pixels
+
+    px = decode_pixels(open("fixtures/images/tiny_rgb.png", "rb").read())
+    assert px.ndim == 3 and px.shape[2] == 3 and (px == 0).all()
+    px = decode_pixels(open("fixtures/images/tiny.bmp", "rb").read())
+    assert px.ndim == 3 and px.shape[2] == 3 and (px == 0).all()
+
+
+def test_image_pixel_stats_spark(spark):
+    """image_pixel_stats over a mixed batch: analytic means for patterned
+    images, nulls + 'undecodable' for garbage, jpeg header-only rows."""
+    from pyspark.sql import functions as F
+
+    from kenlm_rs_spark.ops.imagegen import (
+        make_bmp_patterned,
+        make_jpeg,
+        make_png_patterned,
+        pattern_pixels,
+    )
+    from kenlm_rs_spark.ops.multimodal import image_pixel_stats
+
+    rows = [
+        (0, bytearray(make_png_patterned(5, 4, 2))),
+        (1, bytearray(make_bmp_patterned(6, 3))),
+        (2, bytearray(b"not an image at all")),
+        (3, bytearray(make_jpeg(7, 2))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in image_pixel_stats(df).collect()}
+    px = pattern_pixels(5, 4, 3)
+    want_mean0 = float(px[..., 0].sum()) / (5 * 4)
+    assert got[0]["format"] == "png" and got[0]["channels"] == 3
+    assert abs(got[0]["mean_c0"] - want_mean0) < 1e-12
+    assert got[0]["mean_c3"] is None
+    assert got[1]["format"] == "bmp" and (got[1]["width"], got[1]["height"]) == (6, 3)
+    assert got[2]["format"] == "undecodable" and got[2]["width"] is None
+    # jpeg: header parses (format known) but pixels undecodable -> nulls
+    assert got[3]["format"] == "jpeg" and got[3]["mean_c0"] is None
+    # plan shape: one Arrow stage, no shuffle
+    plan = (
+        image_pixel_stats(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
