@@ -544,21 +544,13 @@ def q_image_headers(spark, sf_dir):
     )
 
 
-def q_image_pixel_stats(spark, sf_dir):
-    """REAL pixel decode (VERDICT r4 item 4 — retires the last stub): per
-    doc_id a patterned PNG (gray/RGB/GA/RGBA, all five scanline filters) or
-    24bpp BMP (BGR bottom-up padded rows) is synthesized on the executors
-    (ops/imagegen), decoded back by the pure-stdlib decoder
-    (ops/multimodal.decode_pixels: zlib IDAT inflate + unfilter), and
-    reduced to pixel statistics. The oracle recomputes every statistic from
-    the arithmetic pattern px(x,y,c) = (7x+13y+31c) mod 256 WITHOUT touching
-    image bytes — encoder, decoder and stats all check each other."""
+def _patterned_payloads(docs):
+    """Per doc_id a patterned PNG (gray/RGB/RGBA/GA — all five scanline
+    filters) or 24bpp BMP, w = 8 + id%25, h = 8 + 3id%25 — the arithmetic
+    the pixel oracles recompute."""
     import pandas as pd
 
     from kenlm_rs_spark.ops.imagegen import make_bmp_patterned, make_png_patterned
-    from kenlm_rs_spark.ops.multimodal import image_pixel_stats
-
-    docs = _docs(spark, sf_dir).select("doc_id")
 
     def gen(batches):
         for pdf in batches:
@@ -576,7 +568,21 @@ def q_image_pixel_stats(spark, sf_dir):
                     )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return docs.mapInPandas(gen, "doc_id long, payload binary")
+
+
+def q_image_pixel_stats(spark, sf_dir):
+    """REAL pixel decode (VERDICT r4 item 4 — retires the last stub): per
+    doc_id a patterned PNG (gray/RGB/GA/RGBA, all five scanline filters) or
+    24bpp BMP (BGR bottom-up padded rows) is synthesized on the executors
+    (ops/imagegen), decoded back by the pure-stdlib decoder
+    (ops/multimodal.decode_pixels: zlib IDAT inflate + unfilter), and
+    reduced to pixel statistics. The oracle recomputes every statistic from
+    the arithmetic pattern px(x,y,c) = (7x+13y+31c) mod 256 WITHOUT touching
+    image bytes — encoder, decoder and stats all check each other."""
+    from kenlm_rs_spark.ops.multimodal import image_pixel_stats
+
+    payloads = _patterned_payloads(_docs(spark, sf_dir).select("doc_id"))
     out = image_pixel_stats(payloads)
     return out.select(
         "doc_id",
@@ -592,6 +598,27 @@ def q_image_pixel_stats(spark, sf_dir):
         F.col("px_min").cast("long").alias("px_min"),
         F.col("px_max").cast("long").alias("px_max"),
         F.round("entropy_bits", 6).alias("entropy_bits"),
+    )
+
+
+def q_image_pooled_features(spark, sf_dir):
+    """REAL resize + feature-extract (the brief's image feature kernel,
+    honest edition): decode patterned payloads, grayscale, average-pool to
+    a 4x4 grid — 16 exact integer-sum/count rationals per image. The
+    oracle recomputes every cell from the arithmetic pattern; pixel (x,y)
+    belongs to cell (4y//h, 4x//w) in BOTH engines."""
+    from kenlm_rs_spark.ops.multimodal import image_pooled_features
+
+    payloads = _patterned_payloads(_docs(spark, sf_dir).select("doc_id"))
+    out = image_pooled_features(payloads)
+    return out.select(
+        "doc_id",
+        "format",
+        *[
+            F.round(f"f{r}{c}", 9).alias(f"f{r}{c}")
+            for r in range(4)
+            for c in range(4)
+        ],
     )
 
 
@@ -1093,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample_a07": q_temperature_sample_a07,
         "image_pixel_stats": q_image_pixel_stats,
         "token_budget_mix_2p": q_token_budget_mix_2p,
+        "image_pooled_features": q_image_pooled_features,
     }
 
 
@@ -2124,6 +2152,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN ent ON ent.doc_id = d.doc_id
             GROUP BY d.doc_id, d.fmt, d.w, d.h, d.ch, mm.px_min, mm.px_max,
                      ent.entropy_bits
+        """,
+        "image_pooled_features": """
+            WITH dims AS (
+              SELECT doc_id,
+                     8 + doc_id % 25 AS w,
+                     8 + (doc_id * 3) % 25 AS h,
+                     CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 3
+                          WHEN 2 THEN 4 WHEN 3 THEN 2 ELSE 3 END AS ch,
+                     CASE WHEN doc_id % 5 = 4 THEN 'bmp' ELSE 'png' END AS fmt
+              FROM documents
+            ), px AS (
+              SELECT d.doc_id, d.w, d.h, d.fmt,
+                     x.range AS x, y.range AS y,
+                     (x.range * 7 + y.range * 13 + c.range * 31) % 256 AS v
+              FROM dims d, range(0, 32) x, range(0, 32) y, range(0, 4) c
+              WHERE x.range < d.w AND y.range < d.h AND c.range < d.ch
+            ), agg AS (
+              SELECT doc_id, (y * 4) // h AS r, (x * 4) // w AS c,
+                     CAST(sum(v) AS DOUBLE) / count(*) AS m
+              FROM px GROUP BY 1, 2, 3
+            )
+            SELECT d.doc_id, d.fmt AS format,
+                   round(max(CASE WHEN r = 0 AND c = 0 THEN m END), 9) AS f00,
+                   round(max(CASE WHEN r = 0 AND c = 1 THEN m END), 9) AS f01,
+                   round(max(CASE WHEN r = 0 AND c = 2 THEN m END), 9) AS f02,
+                   round(max(CASE WHEN r = 0 AND c = 3 THEN m END), 9) AS f03,
+                   round(max(CASE WHEN r = 1 AND c = 0 THEN m END), 9) AS f10,
+                   round(max(CASE WHEN r = 1 AND c = 1 THEN m END), 9) AS f11,
+                   round(max(CASE WHEN r = 1 AND c = 2 THEN m END), 9) AS f12,
+                   round(max(CASE WHEN r = 1 AND c = 3 THEN m END), 9) AS f13,
+                   round(max(CASE WHEN r = 2 AND c = 0 THEN m END), 9) AS f20,
+                   round(max(CASE WHEN r = 2 AND c = 1 THEN m END), 9) AS f21,
+                   round(max(CASE WHEN r = 2 AND c = 2 THEN m END), 9) AS f22,
+                   round(max(CASE WHEN r = 2 AND c = 3 THEN m END), 9) AS f23,
+                   round(max(CASE WHEN r = 3 AND c = 0 THEN m END), 9) AS f30,
+                   round(max(CASE WHEN r = 3 AND c = 1 THEN m END), 9) AS f31,
+                   round(max(CASE WHEN r = 3 AND c = 2 THEN m END), 9) AS f32,
+                   round(max(CASE WHEN r = 3 AND c = 3 THEN m END), 9) AS f33
+            FROM dims d JOIN agg ON agg.doc_id = d.doc_id
+            GROUP BY d.doc_id, d.fmt
         """,
         "temperature_sample_a07": f"""
             WITH c AS (

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "temperature_sample_a07",
     "image_pixel_stats",
     "token_budget_mix_2p",
+    "image_pooled_features",
 ]
 
 

@@ -117,3 +117,31 @@ def test_image_pixel_stats_spark(spark):
         image_pixel_stats(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_image_pooled_features_spark(spark):
+    """decode -> grayscale -> 4x4 average pool: cell (r,c) mean equals the
+    integer-sum/count rational over pixels with (4y//h, 4x//w) == (r,c);
+    undecodable rows give null features."""
+    import numpy as np
+
+    from kenlm_rs_spark.ops.imagegen import make_png_patterned, pattern_pixels
+    from kenlm_rs_spark.ops.multimodal import image_pooled_features
+
+    w, h = 10, 6
+    rows = [
+        (0, bytearray(make_png_patterned(w, h, 2))),
+        (1, bytearray(b"garbage")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in image_pooled_features(df).collect()}
+    px = pattern_pixels(w, h, 3)
+    yb = (np.arange(h) * 4) // h
+    xb = (np.arange(w) * 4) // w
+    for r in range(4):
+        for c in range(4):
+            cell = px[yb == r][:, xb == c]
+            want = float(cell.sum()) / cell.size
+            assert abs(got[0][f"f{r}{c}"] - want) < 1e-12, (r, c)
+    assert got[1]["format"] == "undecodable"
+    assert all(got[1][f"f{r}{c}"] is None for r in range(4) for c in range(4))
