@@ -934,6 +934,17 @@ def q_token_budget_mix_2p(spark, sf_dir):
     return out.select("doc_id", "group", "tokens", "mix_keep")
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact duplicated-span statistics (Lee et al. 2021 ExactSubstr
+    signal, ops/spans.py): per doc, the fraction of 5-token span positions
+    whose span occurs >= 2 times corpus-wide — one explode, one uniform-key
+    hash-count, one join back. The oracle rebuilds the identical spans with
+    the shared token split."""
+    from kenlm_rs_spark.ops.spans import duplicated_span_stats
+
+    return duplicated_span_stats(_docs(spark, sf_dir), n=5)
+
+
 def q_url_pattern_filter(spark, sf_dir):
     """Ordered regex URL block patterns (ops/urls.URL_BLOCK_PATTERNS,
     first-match-wins when-chain — one codegen projection, no join); the
@@ -1121,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pixel_stats": q_image_pixel_stats,
         "token_budget_mix_2p": q_token_budget_mix_2p,
         "image_pooled_features": q_image_pooled_features,
+        "dup_spans": q_dup_spans,
     }
 
 
@@ -2152,6 +2164,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN ent ON ent.doc_id = d.doc_id
             GROUP BY d.doc_id, d.fmt, d.w, d.h, d.ch, mm.px_min, mm.px_max,
                      ent.entropy_bits
+        """,
+        "dup_spans": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     unnest([array_to_string(toks[i+1:i+5], ' ')
+                             for i in range(len(toks) - 4)]) AS span
+              FROM {toks}
+            ), c AS (
+              SELECT span FROM s GROUP BY span HAVING count(*) >= 2
+            ), d AS (
+              SELECT s.doc_id, count(*) AS n_spans,
+                     sum(CASE WHEN c.span IS NOT NULL THEN 1 ELSE 0 END)
+                       AS n_dup_spans
+              FROM s LEFT JOIN c ON c.span = s.span
+              GROUP BY 1
+            )
+            SELECT doc.doc_id,
+                   CAST(coalesce(d.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(coalesce(d.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+                   CASE WHEN coalesce(d.n_spans, 0) > 0
+                        THEN round(CAST(d.n_dup_spans AS DOUBLE) / d.n_spans, 9)
+                   END AS dup_span_frac
+            FROM documents doc LEFT JOIN d ON d.doc_id = doc.doc_id
         """,
         "image_pooled_features": """
             WITH dims AS (

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "image_pixel_stats",
     "token_budget_mix_2p",
     "image_pooled_features",
+    "dup_spans",
 ]
 
 

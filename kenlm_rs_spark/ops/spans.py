@@ -1,0 +1,76 @@
+"""Exact duplicated-span statistics — the corpus-level exact-substring
+signal of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+Models Better"): a span of L consecutive tokens that occurs more than once
+ANYWHERE in the corpus is boilerplate/duplication pressure; per document we
+report how much of it is made of such spans (the drop/trim signal their
+ExactSubstr dedup acts on).
+
+Spark shape (vs the paper's suffix array, which is a single-machine
+construction): explode every L-token span with its position (the L-fold
+blowup is the price of distribution; the reference point is that one
+corpus-wide suffix array cannot be built on 10^12 docs anyway), hash-count
+spans in one uniform-key groupBy, then one shuffle join back on the span
+hash and a per-doc aggregate. At 100 TB the span column is xxhash64(span)
+(8 bytes) rather than the string — collision odds are negligible for a
+FRACTION statistic — and a HAVING count>=2 pre-filter on the count side
+keeps the join input to actually-duplicated spans only (duplicated spans
+are a small minority in a deduped corpus). The gate row keeps the string
+form so the DuckDB twin is byte-faithful.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import ngrams_col
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed: bool = False,
+) -> DataFrame:
+    """(doc_id, n_spans, n_dup_spans, dup_span_frac): n_spans = number of
+    L-token span positions in the doc; a position is duplicated iff its
+    span occurs >= 2 times across the whole corpus (including within-doc
+    repeats — the Lee et al. notion of 'occurs more than once');
+    dup_span_frac = n_dup_spans / n_spans (null for docs shorter than L).
+
+    ``hashed=True`` is the 10^12-doc path: spans become xxhash64 longs
+    before the groupBy/join, shrinking shuffle bytes ~10x on 13-grams."""
+    spans = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ngrams_col(F.col(text_col), n)).alias("span"),
+    )
+    if hashed:
+        spans = spans.select("doc_id", F.xxhash64("span").alias("span"))
+    counts = (
+        spans.groupBy("span")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("span", F.lit(True).alias("_dup"))
+    )
+    per_doc = (
+        spans.join(counts, "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("_dup"), 1).otherwise(0)).alias("n_dup_spans"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                F.round(F.col("n_dup_spans") / F.col("n_spans"), 9),
+            ).alias("dup_span_frac"),
+        )
+    )
