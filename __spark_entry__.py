@@ -622,6 +622,81 @@ def q_image_pooled_features(spark, sf_dir):
     )
 
 
+def q_audio_pcm_stats(spark, sf_dir):
+    """REAL audio decode (ops/audio.py): per doc a patterned 16-bit PCM WAV
+    (RIFF chunk walk, interleaved frames) is synthesized on executors and
+    parsed back; duration / exact mean amplitude / RMS / peak verified
+    against an oracle that recomputes them from the sample pattern
+    s(i,c) = ((17i + 29c) mod 4001) - 2000 without touching WAV bytes."""
+    import pandas as pd
+
+    from kenlm_rs_spark.ops.audio import audio_pcm_stats, make_wav_patterned
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    rates = [8000, 16000, 22050, 44100]
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = [
+                make_wav_patterned(
+                    100 + int(i) % 211,
+                    channels=1 + int(i) % 2,
+                    sample_rate=rates[int(i) % 4],
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    out = audio_pcm_stats(payloads)
+    return out.select(
+        "doc_id",
+        "sample_rate",
+        "channels",
+        "bits",
+        "n_frames",
+        F.round("duration_s", 9).alias("duration_s"),
+        F.round("mean_amp", 9).alias("mean_amp"),
+        F.round("rms", 9).alias("rms"),
+        "peak",
+    )
+
+
+def q_video_metadata(spark, sf_dir):
+    """REAL video metadata (ops/multimodal.parse_video_metadata): per doc a
+    minimal valid ISO-BMFF stream (ftyp + moov[mvhd + trak[tkhd]], 16.16
+    fixed dims) is synthesized and box-walked back; duration + the integer
+    frame-sampling arithmetic (units * fps // timescale) verified against
+    a pure-arithmetic oracle."""
+    import pandas as pd
+
+    from kenlm_rs_spark.ops.imagegen import make_mp4
+    from kenlm_rs_spark.ops.multimodal import video_metadata
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    scales = [600, 1000, 90000, 25]
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = [
+                make_mp4(
+                    160 + int(i) % 320,
+                    120 + (int(i) * 3) % 240,
+                    500 + int(i) % 9973,
+                    timescale=scales[int(i) % 4],
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    out = video_metadata(payloads, fps=30)
+    return out.select(
+        "doc_id", "width", "height", "timescale", "duration_units",
+        F.round("duration_s", 9).alias("duration_s"), "n_frames_30fps",
+    )
+
+
 def q_paragraph_stats(spark, sf_dir):
     """Paragraph-splitting plumbing of the CCNet per-paragraph filter
     (ops/paragraphs.py): the documents table has no newlines, so ' the ' is
@@ -1133,6 +1208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix_2p": q_token_budget_mix_2p,
         "image_pooled_features": q_image_pooled_features,
         "dup_spans": q_dup_spans,
+        "audio_pcm_stats": q_audio_pcm_stats,
+        "video_metadata": q_video_metadata,
     }
 
 
@@ -2164,6 +2241,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN ent ON ent.doc_id = d.doc_id
             GROUP BY d.doc_id, d.fmt, d.w, d.h, d.ch, mm.px_min, mm.px_max,
                      ent.entropy_bits
+        """,
+        "video_metadata": """
+            WITH dims AS (
+              SELECT doc_id,
+                     160 + doc_id % 320 AS w,
+                     120 + (doc_id * 3) % 240 AS h,
+                     500 + doc_id % 9973 AS dur,
+                     ([600, 1000, 90000, 25])[CAST(doc_id % 4 AS INTEGER) + 1]
+                       AS ts
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   CAST(ts AS BIGINT) AS timescale,
+                   CAST(dur AS BIGINT) AS duration_units,
+                   round(CAST(dur AS DOUBLE) / ts, 9) AS duration_s,
+                   CAST((dur * 30) // ts AS BIGINT) AS n_frames_30fps
+            FROM dims
+        """,
+        "audio_pcm_stats": """
+            WITH dims AS (
+              SELECT doc_id,
+                     100 + doc_id % 211 AS frames,
+                     1 + doc_id % 2 AS ch,
+                     ([8000, 16000, 22050, 44100])[CAST(doc_id % 4 AS INTEGER) + 1]
+                       AS rate
+              FROM documents
+            ), sm AS (
+              SELECT d.doc_id,
+                     (i.range * 17 + c.range * 29) % 4001 - 2000 AS v
+              FROM dims d, range(0, 311) i, range(0, 2) c
+              WHERE i.range < d.frames AND c.range < d.ch
+            ), agg AS (
+              SELECT doc_id, sum(v) AS s1, sum(v * v) AS s2,
+                     max(abs(v)) AS peak, count(*) AS n
+              FROM sm GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(d.rate AS BIGINT) AS sample_rate,
+                   CAST(d.ch AS BIGINT) AS channels,
+                   CAST(16 AS BIGINT) AS bits,
+                   CAST(d.frames AS BIGINT) AS n_frames,
+                   round(CAST(d.frames AS DOUBLE) / d.rate, 9) AS duration_s,
+                   round(CAST(a.s1 AS DOUBLE) / a.n, 9) AS mean_amp,
+                   round(sqrt(CAST(a.s2 AS DOUBLE) / a.n), 9) AS rms,
+                   CAST(a.peak AS BIGINT) AS peak
+            FROM dims d JOIN agg a ON a.doc_id = d.doc_id
         """,
         "dup_spans": f"""
             WITH s AS (

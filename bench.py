@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "token_budget_mix_2p",
     "image_pooled_features",
     "dup_spans",
+    "audio_pcm_stats",
+    "video_metadata",
 ]
 
 

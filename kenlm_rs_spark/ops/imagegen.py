@@ -210,3 +210,44 @@ def make_bmp_patterned(w: int, h: int) -> bytes:
     )
     header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pixels), 0, 0, 14 + 40)
     return header + info + pixels
+
+
+def make_mp4(
+    w: int, h: int, duration_units: int, timescale: int = 1000
+) -> bytes:
+    """Minimal valid ISO-BMFF (MP4) metadata stream: ftyp + moov[mvhd +
+    trak[tkhd]] boxes per ISO/IEC 14496-12 — enough for any metadata
+    parser (dims are 16.16 fixed-point in tkhd; duration/timescale in
+    mvhd). No mdat/codec data: pixel/frame decode is the declared codec
+    boundary, like JPEG scan data."""
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">I", 0)                      # version/flags
+        + struct.pack(">II", 0, 0)                # ctime mtime
+        + struct.pack(">II", timescale, duration_units)
+        + struct.pack(">I", 0x00010000)           # rate 1.0
+        + struct.pack(">H", 0x0100)               # volume 1.0
+        + b"\x00" * 10                            # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24                            # pre_defined
+        + struct.pack(">I", 2),                   # next_track_id
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">I", 7)                      # version/flags (enabled)
+        + struct.pack(">II", 0, 0)                # ctime mtime
+        + struct.pack(">I", 1)                    # track id
+        + struct.pack(">I", 0)                    # reserved
+        + struct.pack(">I", duration_units)
+        + b"\x00" * 8                             # reserved
+        + struct.pack(">HHHH", 0, 0, 0, 0)        # layer/group/volume/resv
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),   # 16.16 fixed dims
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov

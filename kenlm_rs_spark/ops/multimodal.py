@@ -414,10 +414,110 @@ def image_pooled_features(
     )
 
 
+# ----------------------------------------------------------------- video
+
+def parse_video_metadata(data: bytes) -> tuple[int, int, int, int] | None:
+    """REAL ISO-BMFF (MP4/MOV) metadata: walk top-level boxes to moov,
+    read mvhd (timescale, duration — v0 u32 / v1 u64) and the first tkhd
+    (16.16 fixed-point width/height). Returns (width, height, timescale,
+    duration_units) or None if the bytes are not ISO-BMFF. Frame/pixel
+    decode of the mdat payload is the declared codec boundary."""
+    def walk(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            tag = buf[pos + 4 : pos + 8]
+            body_start = pos + 8
+            if size == 1:  # 64-bit box size
+                if pos + 16 > end:
+                    return
+                (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+                body_start = pos + 16
+            if size < 8 or pos + size > end:
+                return
+            yield tag, body_start, pos + size
+            pos += size
+
+    if len(data) < 12:
+        return None
+    first = data[4:8]
+    if first not in (b"ftyp", b"moov", b"mdat", b"free", b"wide", b"styp"):
+        return None
+    timescale = duration = w = h = None
+    for tag, s, e in walk(data, 0, len(data)):
+        if tag != b"moov":
+            continue
+        for t2, s2, e2 in walk(data, s, e):
+            if t2 == b"mvhd":
+                version = data[s2]
+                if version == 1:
+                    timescale, duration = struct.unpack(
+                        ">IQ", data[s2 + 20 : s2 + 32]
+                    )
+                else:
+                    timescale, duration = struct.unpack(
+                        ">II", data[s2 + 12 : s2 + 20]
+                    )
+            elif t2 == b"trak" and w is None:
+                for t3, s3, e3 in walk(data, s2, e2):
+                    if t3 == b"tkhd":
+                        version = data[s3]
+                        # v0: 4 vf + 4+4 times + 4 id + 4 resv + 4 dur
+                        #     + 8 resv + 8 layer/group/vol/resv + 36 matrix
+                        off = s3 + (76 if version == 0 else 88)
+                        wf, hf = struct.unpack(">II", data[off : off + 8])
+                        w, h = wf >> 16, hf >> 16
+    if timescale is None or w is None:
+        return None
+    return w, h, int(timescale), int(duration)
+
+
+VIDEO_META_SCHEMA = (
+    "doc_id long, width long, height long, timescale long, "
+    "duration_units long, duration_s double, n_frames_30fps long"
+)
+
+
+def video_metadata(
+    df: DataFrame, fps: int = 30, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """binary -> MP4 metadata + the REAL frame-sampling arithmetic:
+    n_frames at ``fps`` = duration_units * fps // timescale (pure integer
+    math, engine-exact). Non-ISO-BMFF payloads yield null rows."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i, data in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(data) if data is not None else b""
+                meta = parse_video_metadata(b)
+                if meta is None:
+                    rows.append(
+                        dict(
+                            doc_id=int(i), width=None, height=None,
+                            timescale=None, duration_units=None,
+                            duration_s=None, n_frames_30fps=None,
+                        )
+                    )
+                    continue
+                w, h, ts, dur = meta
+                rows.append(
+                    dict(
+                        doc_id=int(i), width=w, height=h, timescale=ts,
+                        duration_units=dur, duration_s=dur / ts,
+                        n_frames_30fps=dur * fps // ts,
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(gen, schema=VIDEO_META_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30, id_col: str = "doc_id") -> DataFrame:
     """Video frame-sampling plumbing: emits (doc_id, frame_idx) rows for a
     deterministic fake frame count derived from payload size; the decode of
-    each frame is the NotImplementedError stub boundary."""
+    each frame is the NotImplementedError stub boundary. (For real MP4
+    payloads, video_metadata supplies the true frame arithmetic.)"""
     n_frames = (F.length(F.col("payload")) / 1000).cast("int") + 1
     return df.select(
         id_col,

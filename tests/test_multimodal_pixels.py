@@ -145,3 +145,41 @@ def test_image_pooled_features_spark(spark):
             assert abs(got[0][f"f{r}{c}"] - want) < 1e-12, (r, c)
     assert got[1]["format"] == "undecodable"
     assert all(got[1][f"f{r}{c}"] is None for r in range(4) for c in range(4))
+
+
+def test_mp4_box_walk_roundtrip_and_edges():
+    """ISO-BMFF metadata: synth->parse roundtrip (16.16 dims, mvhd
+    duration/timescale), 64-bit-size box tolerance, non-BMFF rejection."""
+    import struct
+
+    from kenlm_rs_spark.ops.imagegen import make_mp4
+    from kenlm_rs_spark.ops.multimodal import parse_video_metadata
+
+    for w, h, d, ts in ((320, 240, 5000, 1000), (1920, 1080, 123456, 90000)):
+        assert parse_video_metadata(make_mp4(w, h, d, ts)) == (w, h, ts, d)
+    assert parse_video_metadata(b"garbage") is None
+    assert parse_video_metadata(b"") is None
+    # a free box with 64-bit size between ftyp and moov must be skipped
+    free = struct.pack(">I", 1) + b"free" + struct.pack(">Q", 16)
+    mp4 = make_mp4(64, 48, 100, 50)
+    (ftyp_size,) = struct.unpack(">I", mp4[:4])
+    assert parse_video_metadata(
+        mp4[:ftyp_size] + free + mp4[ftyp_size:]
+    )[0] == 64
+
+
+def test_video_metadata_spark(spark):
+    from kenlm_rs_spark.ops.imagegen import make_mp4
+    from kenlm_rs_spark.ops.multimodal import video_metadata
+
+    rows = [
+        (0, bytearray(make_mp4(320, 240, 2100, 1000))),
+        (1, bytearray(b"not video")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in video_metadata(df, fps=30).collect()}
+    assert (got[0]["width"], got[0]["height"]) == (320, 240)
+    assert got[0]["duration_s"] == 2.1
+    # integer frame arithmetic: 2100 * 30 // 1000 = 63 (no float floor)
+    assert got[0]["n_frames_30fps"] == 63
+    assert got[1]["width"] is None
