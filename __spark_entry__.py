@@ -697,6 +697,61 @@ def q_video_metadata(spark, sf_dir):
     )
 
 
+# special lines for the c4_rules gate row (shared Spark/SQL constants)
+_C4_LOREM_LINE = "lorem ipsum dolor sit amet."
+_C4_BRACE_LINE = "function() { return 1; }"
+_C4_JS_LINE = "click here to enable javascript today."
+
+
+def _synth_c4_lines(docs):
+    """Deterministic line-structured pseudo-pages from doc_id arithmetic:
+    3-8 base lines of 1-6 words with a cycling terminal/none suffix, plus
+    marker lines (lorem / curly brace / javascript) prepended for the
+    doc_id % 17/23/29 strata. The oracle builds the identical lists."""
+    i = F.col("doc_id")
+
+    def mkline(j):
+        k = (i * 7 + j) % 6 + 1
+        words = F.transform(
+            F.sequence(F.lit(0).cast("long"), k - 1),
+            lambda m: F.concat(F.lit("t"), ((i + j * 3 + m) % 50).cast("string")),
+        )
+        suffix = F.element_at(
+            F.array(F.lit("."), F.lit(""), F.lit("!"), F.lit("?")),
+            ((i + j) % 4 + 1).cast("int"),
+        )
+        return F.concat(F.array_join(words, " "), suffix)
+
+    lines = F.transform(F.sequence(F.lit(0).cast("long"), i % 6 + 2), mkline)
+    for mod, marker in ((17, _C4_LOREM_LINE), (23, _C4_BRACE_LINE), (29, _C4_JS_LINE)):
+        lines = F.when(
+            i % mod == 0, F.concat(F.array(F.lit(marker)), lines)
+        ).otherwise(lines)
+    return docs.select("doc_id", lines.alias("lines"))
+
+
+def q_c4_rules(spark, sf_dir):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2, ops/c4.py): line-level
+    terminal-punctuation / min-words / javascript filters + page-level
+    lorem-ipsum / curly-brace / min-sentences decision, all codegen+HOF
+    expressions (no Python, no shuffle); the oracle renders the same
+    shared constants over identically synthesized line lists."""
+    from kenlm_rs_spark.ops.c4 import c4_page_stats
+
+    pages = _synth_c4_lines(_docs(spark, sf_dir).select("doc_id"))
+    out = c4_page_stats(pages)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept_lines").cast("long").alias("n_kept_lines"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        "has_lorem",
+        "has_brace",
+        "c4_keep",
+        "drop_reason",
+    )
+
+
 def q_paragraph_stats(spark, sf_dir):
     """Paragraph-splitting plumbing of the CCNet per-paragraph filter
     (ops/paragraphs.py): the documents table has no newlines, so ' the ' is
@@ -1210,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "audio_pcm_stats": q_audio_pcm_stats,
         "video_metadata": q_video_metadata,
+        "c4_rules": q_c4_rules,
     }
 
 
@@ -1262,6 +1318,10 @@ def oracle_sql() -> dict[str, str]:
     from kenlm_rs_spark.ops.mixing import pow_alpha_sql_expr
 
     _pow07 = pow_alpha_sql_expr("CAST(n_g AS DOUBLE)", 0.7)
+    from kenlm_rs_spark.ops.c4 import c4_page_stats_sql_exprs
+
+    _c4 = c4_page_stats_sql_exprs("lines")
+    _c4_brace_sql = _C4_BRACE_LINE.replace("'", "''")
 
     # phrase-filter piece sets rendered as SQL IN-lists (same PhraseSets
     # source the Spark DP kernel uses)
@@ -2241,6 +2301,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN ent ON ent.doc_id = d.doc_id
             GROUP BY d.doc_id, d.fmt, d.w, d.h, d.ch, mm.px_min, mm.px_max,
                      ent.entropy_bits
+        """,
+        "c4_rules": f"""
+            WITH l0 AS (
+              SELECT doc_id,
+                [array_to_string(
+                    ['t' || CAST((doc_id + j * 3 + m) % 50 AS VARCHAR)
+                     for m in range(CAST((doc_id * 7 + j) % 6 + 1 AS INTEGER))],
+                    ' ')
+                 || (['.', '', '!', '?'])[CAST((doc_id + j) % 4 AS INTEGER) + 1]
+                 for j in range(CAST(doc_id % 6 + 3 AS INTEGER))] AS lines0
+              FROM documents
+            ), l AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 29 = 0 THEN ['{_C4_JS_LINE}']
+                      ELSE []::VARCHAR[] END)
+                || (CASE WHEN doc_id % 23 = 0 THEN ['{_c4_brace_sql}']
+                        ELSE []::VARCHAR[] END)
+                || (CASE WHEN doc_id % 17 = 0 THEN ['{_C4_LOREM_LINE}']
+                        ELSE []::VARCHAR[] END)
+                || lines0 AS lines
+              FROM l0
+            ), st AS (
+              SELECT doc_id,
+                     CAST(len(lines) AS BIGINT) AS n_lines,
+                     CAST(len({_c4["kept"]}) AS BIGINT) AS n_kept_lines,
+                     CAST({_c4["n_sentences"]} AS BIGINT) AS n_sentences,
+                     {_c4["has_lorem"]} AS has_lorem,
+                     {_c4["has_brace"]} AS has_brace
+              FROM l
+            )
+            SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
+                   has_brace,
+                   (NOT has_lorem AND NOT has_brace AND n_sentences >= 5)
+                     AS c4_keep,
+                   CASE WHEN has_lorem THEN 'lorem_ipsum'
+                        WHEN has_brace THEN 'curly_brace'
+                        WHEN n_sentences < 5 THEN 'too_few_sentences'
+                   END AS drop_reason
+            FROM st
         """,
         "video_metadata": """
             WITH dims AS (

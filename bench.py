@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "dup_spans",
     "audio_pcm_stats",
     "video_metadata",
+    "c4_rules",
 ]
 
 
