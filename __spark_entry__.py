@@ -752,6 +752,52 @@ def q_c4_rules(spark, sf_dir):
     )
 
 
+def q_robots_filter(spark, sf_dir):
+    """robots.txt crawl filter (ops/robots.py): per-domain robots bodies
+    are synthesized arithmetically (incl. a non-matching specialbot group,
+    comments, an empty Disallow and a skipped wildcard rule), parsed by
+    the REAL parser into a rules table, and URLs decided by longest-prefix
+    match (tie -> Allow). The oracle regenerates the rules directly from
+    the arithmetic — if the parser mishandles any line form, the rule set
+    and the decisions diverge and the hash goes red."""
+    from kenlm_rs_spark.ops.robots import robots_filter, robots_rules
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id")
+    d = i % 37
+    domain = F.concat(F.lit("site"), d.cast("string"), F.lit(".example.com"))
+    rules_arr = F.transform(
+        F.sequence(F.lit(0).cast("long"), d % 4),
+        lambda j: F.concat(
+            F.when((d + j) % 3 == 0, F.lit("Allow: ")).otherwise(
+                F.lit("Disallow: ")
+            ),
+            F.lit("/sec"),
+            ((d * 3 + j) % 7).cast("string"),
+        ),
+    )
+    robots_txt = F.concat_ws(
+        "\n",
+        F.lit("User-agent: specialbot"),
+        F.lit("Disallow: /"),
+        F.lit("# generated fixture"),
+        F.lit("User-agent: *"),
+        F.lit("Disallow:"),
+        F.lit("Disallow: /tmp/*"),
+        F.array_join(rules_arr, "\n"),
+    )
+    path = F.concat(
+        F.lit("/sec"), (i % 9).cast("string"),
+        F.lit("/page"), (i % 5).cast("string"),
+    )
+    domains = docs.select(
+        domain.alias("domain"), robots_txt.alias("robots_txt")
+    ).distinct()
+    rules = robots_rules(domains)
+    urls = docs.select("doc_id", domain.alias("domain"), path.alias("path"))
+    return robots_filter(urls, rules)
+
+
 def q_paragraph_stats(spark, sf_dir):
     """Paragraph-splitting plumbing of the CCNet per-paragraph filter
     (ops/paragraphs.py): the documents table has no newlines, so ' the ' is
@@ -1266,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_pcm_stats": q_audio_pcm_stats,
         "video_metadata": q_video_metadata,
         "c4_rules": q_c4_rules,
+        "robots_filter": q_robots_filter,
     }
 
 
@@ -2301,6 +2348,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN ent ON ent.doc_id = d.doc_id
             GROUP BY d.doc_id, d.fmt, d.w, d.h, d.ch, mm.px_min, mm.px_max,
                      ent.entropy_bits
+        """,
+        "robots_filter": """
+            WITH u AS (
+              SELECT doc_id,
+                     'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com'
+                       AS domain,
+                     '/sec' || CAST(doc_id % 9 AS VARCHAR) ||
+                     '/page' || CAST(doc_id % 5 AS VARCHAR) AS path
+              FROM documents
+            ), r AS (
+              SELECT 'site' || CAST(t.d AS VARCHAR) || '.example.com'
+                       AS domain,
+                     '/sec' || CAST((t.d * 3 + s.j) % 7 AS VARCHAR)
+                       AS path_prefix,
+                     (t.d + s.j) % 3 = 0 AS allow
+              FROM range(0, 37) AS t(d), range(0, 5) AS s(j)
+              WHERE s.j <= t.d % 4
+            ), cand AS (
+              SELECT u.doc_id, u.domain, u.path, r.path_prefix, r.allow
+              FROM u LEFT JOIN r
+                ON r.domain = u.domain
+               AND starts_with(u.path, r.path_prefix)
+            ), ranked AS (
+              SELECT doc_id, domain, path, path_prefix, allow,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY length(path_prefix) DESC NULLS LAST,
+                                CAST(allow AS INTEGER) DESC
+                     ) AS rn
+              FROM cand
+            )
+            SELECT doc_id, domain, path,
+                   coalesce(
+                     CASE WHEN path_prefix IS NULL THEN NULL ELSE allow END,
+                     TRUE) AS crawl_allowed
+            FROM ranked WHERE rn = 1
         """,
         "c4_rules": f"""
             WITH l0 AS (

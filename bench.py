@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "audio_pcm_stats",
     "video_metadata",
     "c4_rules",
+    "robots_filter",
 ]
 
 
