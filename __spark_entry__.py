@@ -544,11 +544,23 @@ def q_image_headers(spark, sf_dir):
     )
 
 
+def _spread(docs):
+    """Repartition a tiny id-only frame across the cluster BEFORE a
+    compute-heavy Arrow stage: a single small parquet file yields ONE scan
+    partition, which would run the whole synth+decode stage on one core
+    (measured: the sf0.1 image rows ran at exactly single-thread speed).
+    The shuffle moves only 8-byte ids — the canonical cheap fix for
+    per-row-expensive narrow stages over few input splits."""
+    return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
+
 def _patterned_payloads(docs):
     """Per doc_id a patterned PNG (gray/RGB/RGBA/GA — all five scanline
     filters) or 24bpp BMP, w = 8 + id%25, h = 8 + 3id%25 — the arithmetic
     the pixel oracles recompute."""
     import pandas as pd
+
+    docs = _spread(docs)
 
     from kenlm_rs_spark.ops.imagegen import make_bmp_patterned, make_png_patterned
 
@@ -632,7 +644,7 @@ def q_audio_pcm_stats(spark, sf_dir):
 
     from kenlm_rs_spark.ops.audio import audio_pcm_stats, make_wav_patterned
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
     rates = [8000, 16000, 22050, 44100]
 
     def gen(batches):
@@ -673,7 +685,7 @@ def q_video_metadata(spark, sf_dir):
     from kenlm_rs_spark.ops.imagegen import make_mp4
     from kenlm_rs_spark.ops.multimodal import video_metadata
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
     scales = [600, 1000, 90000, 25]
 
     def gen(batches):

@@ -134,14 +134,6 @@ def pattern_pixels(w: int, h: int, channels: int) -> "np.ndarray":
     return ((x * 7 + y * 13 + c * 31) % 256).astype(np.uint8)
 
 
-def _paeth_predict(a: int, b: int, c: int) -> int:
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    return b if pb <= pc else c
-
-
 def _png_filter_row(
     ftype: int, row: "np.ndarray", prev: "np.ndarray", bpp: int
 ) -> bytes:
@@ -160,11 +152,15 @@ def _png_filter_row(
     elif ftype == 3:  # Average
         out = (r - (left + pv) // 2) % 256
     elif ftype == 4:  # Paeth
+        # forward filtering reads only ORIGINAL bytes (no recurrence), so
+        # the predictor vectorizes elementwise — unlike the decoder, where
+        # left depends on already-reconstructed output
         ul = np.zeros_like(pv)
         ul[bpp:] = pv[:-bpp]
-        pred = np.array(
-            [_paeth_predict(int(a), int(b), int(c)) for a, b, c in zip(left, pv, ul)],
-            dtype=np.int32,
+        p = left + pv - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - pv), np.abs(p - ul)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, pv, ul)
         )
         out = (r - pred) % 256
     else:
