@@ -35,12 +35,27 @@ _GRAMS3 = "[array_to_string(toks[i+1:i+3], ' ') for i in range(len(toks)-2)]"
 _GRAMS2 = "[array_to_string(toks[i+1:i+2], ' ') for i in range(len(toks)-1)]"
 
 
+def _spread_input(df: DataFrame) -> DataFrame:
+    """The sandbox tables are single-file/single-row-group parquet, so the
+    scan yields ONE partition and every narrow stage before the first
+    shuffle — including the Arrow scoring/decode stages — runs on one core
+    (measured: filter_pipeline at exactly single-thread speed). Real
+    corpora arrive in thousands of splits; emulate that by repartitioning
+    the (tiny) table right after the scan. Results are unchanged — every
+    gate query is order-insensitive."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _spread_input(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return _spread_input(
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    )
 
 
 # --------------------------------------------------------------------- entry
@@ -544,23 +559,11 @@ def q_image_headers(spark, sf_dir):
     )
 
 
-def _spread(docs):
-    """Repartition a tiny id-only frame across the cluster BEFORE a
-    compute-heavy Arrow stage: a single small parquet file yields ONE scan
-    partition, which would run the whole synth+decode stage on one core
-    (measured: the sf0.1 image rows ran at exactly single-thread speed).
-    The shuffle moves only 8-byte ids — the canonical cheap fix for
-    per-row-expensive narrow stages over few input splits."""
-    return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-
-
 def _patterned_payloads(docs):
     """Per doc_id a patterned PNG (gray/RGB/RGBA/GA — all five scanline
     filters) or 24bpp BMP, w = 8 + id%25, h = 8 + 3id%25 — the arithmetic
     the pixel oracles recompute."""
     import pandas as pd
-
-    docs = _spread(docs)
 
     from kenlm_rs_spark.ops.imagegen import make_bmp_patterned, make_png_patterned
 
@@ -644,7 +647,7 @@ def q_audio_pcm_stats(spark, sf_dir):
 
     from kenlm_rs_spark.ops.audio import audio_pcm_stats, make_wav_patterned
 
-    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
+    docs = _docs(spark, sf_dir).select("doc_id")
     rates = [8000, 16000, 22050, 44100]
 
     def gen(batches):
@@ -685,7 +688,7 @@ def q_video_metadata(spark, sf_dir):
     from kenlm_rs_spark.ops.imagegen import make_mp4
     from kenlm_rs_spark.ops.multimodal import video_metadata
 
-    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
+    docs = _docs(spark, sf_dir).select("doc_id")
     scales = [600, 1000, 90000, 25]
 
     def gen(batches):
@@ -966,6 +969,29 @@ def q_lsh_ann(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     res = similarity.lsh_ann_topk(
         emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5, n_planes=6
+    )
+    return res.select(
+        "query_id", "match_id", F.round("cosine", 5).alias("cosine"), "rank"
+    )
+
+
+def q_ivf_ann(spark, sf_dir):
+    """IVF-Flat approximate NN (sampled coarse quantizer, n_probe=3) for
+    query vectors vec_id < 5.
+
+    The embedding column is cast to array<double> BEFORE any dot product:
+    Spark's zip_with on array<float> does f32 multiplies (then folds the
+    already-rounded products in double) while DuckDB's list_dot_product on
+    FLOAT[] accumulates in f32 — two different rounding profiles. All-double
+    on both sides (f32→f64 promotion is exact, sequential fold order
+    identical) makes the cosines bit-equal, so the round(...,9) cluster
+    assignment and probe ranking cannot diverge between engines."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    res = similarity.ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5,
+        centroid_stride=37, n_probe=3,
     )
     return res.select(
         "query_id", "match_id", F.round("cosine", 5).alias("cosine"), "rank"
@@ -1325,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_metadata": q_video_metadata,
         "c4_rules": q_c4_rules,
         "robots_filter": q_robots_filter,
+        "ivf_ann": q_ivf_ann,
     }
 
 
@@ -2625,5 +2652,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(r) AS cluster_id,
                    node = min(r) AS is_survivor
             FROM reach GROUP BY node
+        """,
+        # IVF-Flat ANN twin: rebuilds the identical deterministic structure
+        # (centroids = vec_id % 37 == 0; assignment/probes ranked on
+        # round(cos, 9) with smallest-cid tie-break). All dot products on
+        # DOUBLE[] so accumulation matches Spark's double fold bit-exactly.
+        "ivf_ann": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+            ), cents AS (
+              SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id % 37 = 0
+            ), assign AS (
+              SELECT match_id, cid AS cluster FROM (
+                SELECT x.vec_id AS match_id, c.cid,
+                       row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                         round(list_dot_product(x.emb, c.cvec) /
+                           (sqrt(list_dot_product(x.emb, x.emb)) *
+                            sqrt(list_dot_product(c.cvec, c.cvec))), 9) DESC,
+                         c.cid) AS rn
+                FROM e x CROSS JOIN cents c
+              ) WHERE rn = 1
+            ), probes AS (
+              SELECT query_id, cid AS cluster FROM (
+                SELECT q.vec_id AS query_id, c.cid,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                         round(list_dot_product(q.emb, c.cvec) /
+                           (sqrt(list_dot_product(q.emb, q.emb)) *
+                            sqrt(list_dot_product(c.cvec, c.cvec))), 9) DESC,
+                         c.cid) AS pr
+                FROM e q CROSS JOIN cents c WHERE q.vec_id < 5
+              ) WHERE pr <= 3
+            ), scored AS (
+              SELECT p.query_id, a.match_id,
+                     list_dot_product(q.emb, x.emb) /
+                     (sqrt(list_dot_product(q.emb, q.emb)) *
+                      sqrt(list_dot_product(x.emb, x.emb))) AS cos
+              FROM probes p
+              JOIN assign a ON a.cluster = p.cluster
+              JOIN e q ON q.vec_id = p.query_id
+              JOIN e x ON x.vec_id = a.match_id
+              WHERE a.match_id != p.query_id
+            ), ranked AS (
+              SELECT query_id, match_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, match_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, match_id, round(cos, 5) AS cosine, rank
+            FROM ranked WHERE rank <= 5
         """,
     }

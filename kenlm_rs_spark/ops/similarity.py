@@ -210,3 +210,117 @@ def embedding_near_dup_pairs(
     # outlive this lazy plan, so release is the caller's call
     out.cached_deps = [exploded]
     return out
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    dim: int,
+    k: int = 5,
+    centroid_stride: int = 37,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate NN: a coarse quantizer splits the corpus into
+    inverted lists; each query scans only its n_probe nearest lists
+    (Jegou et al. 2011, "Product Quantization for Nearest Neighbor
+    Search" SIV — here with Flat residuals, i.e. exact cosine inside the
+    probed lists).
+
+    The coarse quantizer is a deterministic modulo sample of the corpus
+    (id % centroid_stride == 0) rather than k-means: sampled centroids are
+    the standard k-means-free IVF baseline, and determinism lets the DuckDB
+    oracle rebuild the identical structure. Assignment ties and probe ranks
+    break on round(cos, 9) then smallest centroid id, mirroring the LSH
+    sign-test quantization (hyperplane_signature_col) so a last-ulp libm
+    difference cannot flip a list assignment between engines.
+
+    Scale shape (100 TB): centroids are MODEL-sized (n_centroids ~ sqrt(N),
+    picked by sampling ids at the right stride), collected once and inlined
+    as a literal array, so corpus->list assignment is a NARROW projection —
+    one fold over the centroid array per row, no shuffle, no Python. The
+    probe table (|queries| x n_probe rows) is broadcast; the candidate join
+    is a broadcast hash join on cluster id, so the corpus still never
+    shuffles — only the candidate set (~ n_probe/n_centroids of the corpus)
+    moves for the per-query top-k. The O(C*d) per-row assignment runs in
+    interpreted HOF land; at C beyond a few hundred, swap the fold for an
+    Arrow pandas UDF doing one (batch x d) @ (d x C) matmul (the measured
+    HOF-vs-Arrow tradeoff in CLAUDE.md)."""
+    cents = sorted(
+        (r[0], list(r[1]))
+        for r in df.filter((F.col(id_col) % centroid_stride) == 0)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if not cents:
+        raise ValueError("centroid_stride sampled zero centroids")
+    # literal array<struct<cid,cvec>>: float32 parquet values are exactly
+    # representable as double literals, so both engines see identical
+    # centroid coordinates
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+            )
+            for cid, vec in cents
+        ]
+    )
+    # argmax cosine, tie -> smallest cid: ONE transform over the literal
+    # array (each element's cosine evaluated exactly once — building a
+    # separate cosine-array column would be re-inlined per lambda element
+    # by Catalyst, the O(C^2) pathology documented in CLAUDE.md)
+    def _best_cluster(vec):
+        return -F.array_max(
+            F.transform(
+                cent_arr,
+                lambda c: F.struct(
+                    F.round(
+                        cosine_similarity_col(vec, c["cvec"]), 9
+                    ).alias("cos"),
+                    (-c["cid"]).alias("ncid"),
+                ),
+            )
+        )["ncid"]
+
+    corpus = df.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec")
+    ).withColumn("cluster", _best_cluster(F.col("cvec")))
+
+    # probe lists for the (tiny) query side via the centroid DataFrame —
+    # broadcast cross join, |queries| x n_centroids rows
+    cents_df = df.filter((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("pvec")
+    )
+    qp = (
+        query_df.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+        .crossJoin(F.broadcast(cents_df))
+        .withColumn(
+            "pcos",
+            F.round(cosine_similarity_col(F.col("qvec"), F.col("pvec")), 9),
+        )
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("cid"))
+    probes = (
+        qp.withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qvec", F.col("cid").alias("cluster"))
+    )
+
+    scored = (
+        corpus.join(F.broadcast(probes), "cluster")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .withColumn(
+            "cosine", cosine_similarity_col(F.col("qvec"), F.col("cvec"))
+        )
+        .select("query_id", "match_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine", "rank")
+    )
