@@ -174,3 +174,62 @@ def test_multimodal_plumbing(spark):
     # determinism
     feats2 = {r["doc_id"]: r for r in multimodal.image_features(df, dim=16).collect()}
     assert feats[1]["feature"] == feats2[1]["feature"]
+
+
+def test_ivf_ann_topk(spark):
+    """IVF-Flat: every returned neighbor must be a true cosine match drawn
+    from the probed lists, ranks contiguous, and — on clustered data where
+    the true NNs share the query's list — recall@k vs brute force is high."""
+    rng = np.random.default_rng(11)
+    # 3 well-separated clusters of 40 vectors each, ids 0..119
+    centers = rng.normal(size=(3, 16)) * 10
+    vecs = np.vstack(
+        [centers[c] + rng.normal(size=(40, 16)) for c in range(3)]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    ).withColumn("embedding", F.col("embedding").cast("array<double>"))
+    queries = df.filter(F.col("vec_id") < 3)
+    got = similarity.ivf_ann_topk(
+        df, queries, dim=16, k=5, centroid_stride=11, n_probe=3
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    sims = (vecs @ vecs.T) / np.outer(
+        np.linalg.norm(vecs, axis=1), np.linalg.norm(vecs, axis=1)
+    )
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert all(r["match_id"] != qid for r in rows)
+        # cosines must be the true cosines (exact kernel inside probed lists)
+        for r in rows:
+            assert r["cosine"] == pytest.approx(
+                float(sims[qid, r["match_id"]]), abs=1e-6
+            )
+        # recall vs brute force: clustered data keeps true NNs in-list
+        truth = [
+            int(i) for i in np.argsort(-sims[qid]) if i != qid
+        ][:5]
+        overlap = len(set(truth) & {r["match_id"] for r in rows})
+        assert overlap >= 4, (qid, truth, [r["match_id"] for r in rows])
+
+
+def test_ivf_ann_no_cartesian_corpus_join(spark):
+    """The corpus side must join candidates via broadcast on cluster id —
+    never a corpus x corpus cartesian."""
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(60, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    q = similarity.ivf_ann_topk(
+        df, df.filter(F.col("vec_id") < 2), dim=8, k=3,
+        centroid_stride=7, n_probe=2,
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
