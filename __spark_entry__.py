@@ -998,6 +998,20 @@ def q_ivf_ann(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (seq_len=512): per-doc stream
+    offset + touched training sequences via the two-level distributed
+    prefix sum (ops/packing.py). shard_size=64 exercises multiple shards
+    at every sf. Integer-only arithmetic — engine-exact."""
+    from kenlm_rs_spark.ops.packing import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    counted = docs.select(
+        "doc_id", ts.token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(counted, seq_len=512, shard_size=64)
+
+
 # ---- r04 web-pipeline additions: URLs, clusters, mixing, normalization ----
 
 # NFC probe appended to the (ASCII) documents text so the normalization row
@@ -1352,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": q_c4_rules,
         "robots_filter": q_robots_filter,
         "ivf_ann": q_ivf_ann,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2700,5 +2715,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, match_id, round(cos, 5) AS cosine, rank
             FROM ranked WHERE rank <= 5
+        """,
+        # packing twin: the naive global cumsum the two-level Spark prefix
+        # sum is provably equal to (shard = doc_id // 64 preserves doc_id
+        # order). greatest(n,1) gives empty docs a home sequence.
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+              FROM {toks}
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS start_offset
+              FROM t
+            )
+            SELECT doc_id, n_tokens, start_offset,
+                   CAST(start_offset // 512 AS BIGINT) AS first_seq,
+                   CAST((start_offset + greatest(n_tokens, 1) - 1) // 512
+                     AS BIGINT) AS last_seq,
+                   CAST((start_offset + greatest(n_tokens, 1) - 1) // 512
+                        - start_offset // 512 + 1 AS BIGINT) AS n_seqs
+            FROM c
         """,
     }
