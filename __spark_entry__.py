@@ -1012,6 +1012,31 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(counted, seq_len=512, shard_size=64)
 
 
+def q_bloom_filter(spark, sf_dir):
+    """Bloom-filter membership (ops/bloom.py expression path): seen set =
+    texts of docs with doc_id % 7 == 0, m=65536 bits, k=5 salted-md5
+    hashes. Output shows bloom_maybe next to exact is_member so false
+    positives are observable (never false negatives)."""
+    from kenlm_rs_spark.ops.bloom import bloom_build, bloom_might_contain
+
+    docs = _docs(spark, sf_dir)
+    seen = docs.filter(F.col("doc_id") % 7 == 0).select("text").distinct()
+    positions = [
+        r["pos"] for r in bloom_build(seen, "text", m_bits=65536, k=5).collect()
+    ]
+    probed = bloom_might_contain(docs, positions, "text", m_bits=65536, k=5)
+    return (
+        probed.join(
+            F.broadcast(seen.withColumn("_m", F.lit(True))), "text", "left"
+        )
+        .select(
+            "doc_id",
+            "bloom_maybe",
+            F.coalesce(F.col("_m"), F.lit(False)).alias("is_member"),
+        )
+    )
+
+
 # ---- r04 web-pipeline additions: URLs, clusters, mixing, normalization ----
 
 # NFC probe appended to the (ASCII) documents text so the normalization row
@@ -1367,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "ivf_ann": q_ivf_ann,
         "pack_sequences": q_pack_sequences,
+        "bloom_filter": q_bloom_filter,
     }
 
 
@@ -2737,5 +2763,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST((start_offset + greatest(n_tokens, 1) - 1) // 512
                         - start_offset // 512 + 1 AS BIGINT) AS n_seqs
             FROM c
+        """,
+        # Bloom twin: identical salted-md5 positions; membership = every
+        # probe position present in the set-bit table (bool_and over a
+        # LEFT JOIN).
+        "bloom_filter": """
+            WITH ks AS (SELECT unnest([0, 1, 2, 3, 4]) AS i),
+            seen AS (
+              SELECT DISTINCT text FROM documents WHERE doc_id % 7 = 0
+            ), pos AS (
+              SELECT DISTINCT
+                ('0x' || substr(md5('bloom:' || i || ':' || text), 1, 12))::BIGINT
+                  % 65536 AS p
+              FROM seen CROSS JOIN ks
+            ), probe AS (
+              SELECT d.doc_id, d.text,
+                ('0x' || substr(md5('bloom:' || k.i || ':' || d.text), 1, 12))::BIGINT
+                  % 65536 AS p
+              FROM documents d CROSS JOIN ks k
+            ), agg AS (
+              SELECT pr.doc_id, bool_and(pos.p IS NOT NULL) AS bloom_maybe
+              FROM probe pr LEFT JOIN pos ON pos.p = pr.p
+              GROUP BY pr.doc_id
+            )
+            SELECT a.doc_id, a.bloom_maybe,
+                   d.text IN (SELECT text FROM seen) AS is_member
+            FROM agg a JOIN documents d USING (doc_id)
         """,
     }
