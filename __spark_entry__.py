@@ -1037,6 +1037,22 @@ def q_bloom_filter(spark, sf_dir):
     )
 
 
+def q_cms_counts(spark, sf_dir):
+    """Count-min sketch (ops/cms.py, w=1024 d=4) over all corpus tokens;
+    estimates for every token with true count >= 20 shown against the
+    exact count (estimate >= truth always — one-sided error)."""
+    from kenlm_rs_spark.ops.cms import cms_build, cms_estimate
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(F.explode(ts.tokens_col(F.col("text"))).alias("token"))
+    counts = tok.groupBy("token").agg(
+        F.count("*").cast("long").alias("true_count")
+    )
+    queried = counts.filter(F.col("true_count") >= 20)
+    sketch = cms_build(tok, "token", width=1024, depth=4)
+    return cms_estimate(queried, sketch, "token", width=1024, depth=4)
+
+
 # ---- r04 web-pipeline additions: URLs, clusters, mixing, normalization ----
 
 # NFC probe appended to the (ASCII) documents text so the normalization row
@@ -1393,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "pack_sequences": q_pack_sequences,
         "bloom_filter": q_bloom_filter,
+        "cms_counts": q_cms_counts,
     }
 
 
@@ -2789,5 +2806,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id, a.bloom_maybe,
                    d.text IN (SELECT text FROM seen) AS is_member
             FROM agg a JOIN documents d USING (doc_id)
+        """,
+        # CMS twin: identical salted-md5 cells; estimate = min over the d
+        # cells (queried keys occurred, so every cell exists — inner join).
+        "cms_counts": f"""
+            WITH tok AS (
+              SELECT unnest(toks) AS token FROM {toks}
+            ), cnt AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS true_count
+              FROM tok GROUP BY token
+            ), rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+            cells AS (
+              SELECT r,
+                ('0x' || substr(md5('cms:' || r || ':' || token), 1, 12))::BIGINT
+                  % 1024 AS pos,
+                CAST(count(*) AS BIGINT) AS c
+              FROM tok CROSS JOIN rws GROUP BY r, pos
+            ), q AS (
+              SELECT token, true_count FROM cnt WHERE true_count >= 20
+            )
+            SELECT q.token, q.true_count,
+                   CAST(min(c.c) AS BIGINT) AS cms_estimate
+            FROM q CROSS JOIN rws
+            JOIN cells c ON c.r = rws.r AND c.pos =
+              ('0x' || substr(md5('cms:' || rws.r || ':' || q.token), 1, 12))::BIGINT
+                % 1024
+            GROUP BY q.token, q.true_count
         """,
     }
