@@ -1053,6 +1053,21 @@ def q_cms_counts(spark, sf_dir):
     return cms_estimate(queried, sketch, "token", width=1024, depth=4)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE training (ops/bpe.py, 12 merges): the oracle is the
+    SEQUENTIAL reference trainer frozen to parquet (tools/freeze_bpe.py) —
+    a genuine cross-implementation check, like the frozen sequential LM
+    scores backing perplexity_docs."""
+    from kenlm_rs_spark.ops.bpe import bpe_train, word_counts
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(word_counts(docs), 12)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "merge_rank long, lhs string, rhs string, pair_count long",
+    )
+
+
 # ---- r04 web-pipeline additions: URLs, clusters, mixing, normalization ----
 
 # NFC probe appended to the (ASCII) documents text so the normalization row
@@ -1410,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "bloom_filter": q_bloom_filter,
         "cms_counts": q_cms_counts,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -2832,5 +2848,10 @@ def oracle_sql() -> dict[str, str]:
               ('0x' || substr(md5('cms:' || rws.r || ':' || q.token), 1, 12))::BIGINT
                 % 1024
             GROUP BY q.token, q.true_count
+        """,
+        # frozen sequential-trainer twin (tools/freeze_bpe.py)
+        "bpe_merges": f"""
+            SELECT merge_rank, lhs, rhs, pair_count
+            FROM read_parquet('{ORACLE_DIR}/bpe_merges.parquet')
         """,
     }

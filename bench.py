@@ -104,6 +104,11 @@ BENCH_QUERIES = [
     "video_metadata",
     "c4_rules",
     "robots_filter",
+    "ivf_ann",
+    "pack_sequences",
+    "bloom_filter",
+    "cms_counts",
+    "bpe_merges",
 ]
 
 
