@@ -1068,6 +1068,51 @@ def q_bpe_merges(spark, sf_dir):
     )
 
 
+def q_inverted_index(spark, sf_dir):
+    """Full-text inverted index (ops/search.py): term -> document
+    frequency + the sorted posting list, surfaced as a 'doc:tf,...' string
+    so the nested structure is hash-comparable across engines."""
+    from kenlm_rs_spark.ops.search import inverted_index
+
+    docs = _docs(spark, sf_dir)
+    idx = inverted_index(docs)
+    postings_s = F.array_join(
+        F.transform(
+            "postings",
+            lambda s: F.concat_ws(
+                ":", s["doc_id"].cast("string"), s["tf"].cast("string")
+            ),
+        ),
+        ",",
+    )
+    return idx.select("term", "df", postings_s.alias("postings_s"))
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Top-3 characteristic terms per doc by smoothed tf-idf
+    (ops/search.py). ln's last-ulp spread is absorbed by round-9 before
+    ranking; ties break on term ascending in both engines."""
+    from kenlm_rs_spark.ops.search import tfidf_topk
+
+    docs = _docs(spark, sf_dir)
+    return tfidf_topk(docs, k=3)
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-5 documents per query (ops/search.py) for three literal
+    keyword queries. Per-term weights are round-9 DECIMAL(38,9) before the
+    per-(query,doc) sum, so the aggregation is order-independent and the
+    rank ordering engine-exact."""
+    from kenlm_rs_spark.ops.search import bm25_search
+
+    docs = _docs(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(0, "hash join"), (1, "slow scan dup"), (2, "vector batch merge")],
+        "query_id long, query string",
+    )
+    return bm25_search(docs, qdf, k=5)
+
+
 # ---- r04 web-pipeline additions: URLs, clusters, mixing, normalization ----
 
 # NFC probe appended to the (ASCII) documents text so the normalization row
@@ -1426,6 +1471,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_filter": q_bloom_filter,
         "cms_counts": q_cms_counts,
         "bpe_merges": q_bpe_merges,
+        "inverted_index": q_inverted_index,
+        "tfidf_topk": q_tfidf_topk,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -2853,5 +2901,97 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": f"""
             SELECT merge_rank, lhs, rhs, pair_count
             FROM read_parquet('{ORACLE_DIR}/bpe_merges.parquet')
+        """,
+        # Inverted-index twin: per-(doc,term) tf, postings string_agg
+        # ordered by doc_id (doc_id unique per term, so the order matches
+        # Spark's sort_array over (doc_id, tf) structs).
+        "inverted_index": f"""
+            WITH t AS (
+              SELECT doc_id, unnest(toks) AS term FROM {toks}
+            ), tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM t GROUP BY doc_id, term
+            )
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+                   string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)
+                     AS postings_s
+            FROM tf GROUP BY term
+        """,
+        # tf-idf twin: identical association order
+        # w = round(tf * (ln((N+1)/(df+1)) + 1), 9), rank ties on term asc.
+        "tfidf_topk": f"""
+            WITH t AS (
+              SELECT doc_id, unnest(toks) AS term FROM {toks}
+            ), tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM t GROUP BY doc_id, term
+            ), n AS (
+              SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf
+            ), dfq AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+            ), sc AS (
+              SELECT tf.doc_id, tf.term,
+                     round(tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0), 9)
+                       AS w
+              FROM tf CROSS JOIN n JOIN dfq ON dfq.term = tf.term
+            ), rk AS (
+              SELECT doc_id, term, w,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY w DESC, term ASC
+                     ) AS rank
+              FROM sc
+            )
+            SELECT doc_id, term, round(w, 6) AS tfidf, rank
+            FROM rk WHERE rank <= 3
+        """,
+        # BM25 twin: per-term weight round-9 -> DECIMAL(38,9) before the
+        # per-(query,doc) sum (order-independent); rank on the decimal sum
+        # with doc_id tie-break, exactly like ops/search.bm25_search.
+        "bm25_topk": f"""
+            WITH t AS (
+              SELECT doc_id, unnest(toks) AS term FROM {toks}
+            ), tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM t GROUP BY doc_id, term
+            ), dl AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+              FROM t GROUP BY doc_id
+            ), st AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM dl
+            ), dfq AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+            ), qt AS (
+              SELECT query_id, unnest(list_distinct(list_filter(
+                string_split_regex(query, '[\\x00\\t\\n\\r ]+'),
+                y -> y != ''))) AS term
+              FROM (VALUES (0, 'hash join'), (1, 'slow scan dup'),
+                           (2, 'vector batch merge')) AS v(query_id, query)
+            ), sc AS (
+              SELECT qt.query_id, tf.doc_id,
+                CAST(round(
+                  ln(1.0 + (((st.n - dfq.df) + 0.5) / (dfq.df + 0.5)))
+                  * ((tf.tf * (1.2 + 1.0)) /
+                     (tf.tf + 1.2 * (0.25 + ((0.75 * dl.dl) / st.avgdl)))),
+                  9) AS DECIMAL(38,9)) AS w
+              FROM tf
+              JOIN qt ON qt.term = tf.term
+              JOIN dfq ON dfq.term = tf.term
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN st
+            ), agg AS (
+              SELECT query_id, doc_id, sum(w) AS s
+              FROM sc GROUP BY query_id, doc_id
+            ), rk AS (
+              SELECT query_id, doc_id, s,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY s DESC, doc_id ASC
+                     ) AS rank
+              FROM agg
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                   round(CAST(s AS DOUBLE), 6) AS score, rank
+            FROM rk WHERE rank <= 5
         """,
     }
