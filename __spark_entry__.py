@@ -1113,6 +1113,66 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_search(docs, qdf, k=5)
 
 
+def _synth_edges(docs):
+    """Deterministic link graph over the documents table: every doc i links
+    to (7i+13)%N, (31i+5)%N, and its decade hub i−i%10 (≈10× in-degree on
+    hub nodes — realistic skew). Self-loops filtered, edges distinct; the
+    oracle builds the identical arithmetic edge set in SQL."""
+    n = docs.count()
+    i = F.col("doc_id")
+    e = docs.select(
+        i.alias("src"),
+        F.explode(
+            F.array(
+                (i * 7 + 13) % n, (i * 31 + 5) % n, (i - i % 10)
+            )
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return e.distinct()
+
+
+def q_extract_links(spark, sf_dir):
+    """href extraction (ops/graph.py): pages synthesized with two known
+    href attributes per doc (double- and single-quoted, <a> and <link>);
+    the oracle predicts both from doc_id arithmetic without running any
+    regex — a parser defect goes hash-red."""
+    from kenlm_rs_spark.ops.graph import extract_links
+
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.col("text"),
+        F.lit('</p><a href="https://site'),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\">x</a><link href='/css/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".css'></body></html>"),
+    )
+    return extract_links(docs.select("doc_id", html.alias("html")))
+
+
+def q_link_degrees(spark, sf_dir):
+    """Per-node in/out degree over the synthetic link graph
+    (ops/graph.py::degree_stats): two uniform-key groupBys + one outer
+    join; decade hubs carry the expected ~10× in-degree skew."""
+    from kenlm_rs_spark.ops.graph import degree_stats
+
+    return degree_stats(_synth_edges(_docs(spark, sf_dir)))
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank after 5 synchronous iterations (ops/graph.py::pagerank,
+    damping 0.85): per-edge contributions are round-9 DECIMAL(38,9) before
+    the per-destination sum, so every iteration is order-independent and
+    engine-exact; the oracle unrolls the same 5 updates in SQL."""
+    from kenlm_rs_spark.ops.graph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    return pagerank(_synth_edges(docs), n_iter=5, damping=0.85)
+
+
 # ---- r04 web-pipeline additions: URLs, clusters, mixing, normalization ----
 
 # NFC probe appended to the (ASCII) documents text so the normalization row
@@ -1474,10 +1534,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "tfidf_topk": q_tfidf_topk,
         "bm25_topk": q_bm25_topk,
+        "extract_links": q_extract_links,
+        "link_degrees": q_link_degrees,
+        "pagerank": q_pagerank,
     }
 
 
 # ------------------------------------------------------------------ oracles
+
+# SQL twin of _synth_edges: the deterministic link graph over documents.
+_EDGES_SQL = """
+            WITH nn AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(*) AS DOUBLE) AS nd
+              FROM documents
+            ), raw AS (
+              SELECT doc_id AS src, (doc_id * 7 + 13) % nn.n AS dst
+              FROM documents CROSS JOIN nn
+              UNION ALL
+              SELECT doc_id, (doc_id * 31 + 5) % nn.n
+              FROM documents CROSS JOIN nn
+              UNION ALL
+              SELECT doc_id, doc_id - doc_id % 10 FROM documents
+            ), e AS MATERIALIZED (
+              SELECT DISTINCT src, dst FROM raw WHERE src <> dst
+            )"""
+
+
+def _pagerank_oracle_sql(n_iter: int, damping: float = 0.85) -> str:
+    """Unrolled SQL twin of ops/graph.pagerank: identical round-9 /
+    DECIMAL(38,9) arithmetic per iteration, doubles forced explicitly
+    (DuckDB parses bare numeric literals as DECIMAL)."""
+    d = f"{damping}::DOUBLE"
+    sql = _EDGES_SQL + f"""
+            , nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e
+                UNION ALL SELECT dst AS node FROM e
+              )
+            ), odeg AS (
+              SELECT src, CAST(count(*) AS BIGINT) AS out_deg
+              FROM e GROUP BY src
+            ), it0 AS (
+              SELECT node, round(1.0::DOUBLE / nn.nd, 9) AS rank
+              FROM nodes CROSS JOIN nn
+            )"""
+    for k in range(1, n_iter + 1):
+        sql += f"""
+            , it{k} AS (
+              SELECT nodes.node,
+                     round((1.0::DOUBLE - {d}) / nn.nd
+                           + {d} * COALESCE(CAST(c.s AS DOUBLE), 0.0::DOUBLE),
+                           9) AS rank
+              FROM nodes CROSS JOIN nn
+              LEFT JOIN (
+                SELECT e.dst,
+                       sum(CAST(round(r.rank / od.out_deg, 9)
+                           AS DECIMAL(38,9))) AS s
+                FROM e
+                JOIN it{k - 1} r ON r.node = e.src
+                JOIN odeg od ON od.src = e.src
+                GROUP BY e.dst
+              ) c ON c.dst = nodes.node
+            )"""
+    return sql + f"""
+            SELECT node, rank FROM it{n_iter}
+        """
+
 
 def _with_toks(inner: str = "documents") -> str:
     return f"(SELECT *, {_TOKS} AS toks FROM {inner})"
@@ -2994,4 +3117,32 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(s AS DOUBLE), 6) AS score, rank
             FROM rk WHERE rank <= 5
         """,
+        # arithmetic ground truth for q_extract_links — no regex here: any
+        # extractor defect (wrong group, quote handling, tag scope) goes
+        # hash-red against these predicted strings.
+        "extract_links": """
+            SELECT doc_id, 0 AS pos,
+                   'https://site' || (doc_id % 97) || '.example.com/p/'
+                     || doc_id AS href
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1 AS pos,
+                   '/css/' || (doc_id % 7) || '.css' AS href
+            FROM documents
+        """,
+        "link_degrees": f"""
+            {_EDGES_SQL}
+            , outd AS (
+              SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg
+              FROM e GROUP BY src
+            ), ind AS (
+              SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg
+              FROM e GROUP BY dst
+            )
+            SELECT COALESCE(o.node, i.node) AS node,
+                   COALESCE(o.out_deg, 0) AS out_deg,
+                   COALESCE(i.in_deg, 0) AS in_deg
+            FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
+        """,
+        "pagerank": _pagerank_oracle_sql(n_iter=5),
     }

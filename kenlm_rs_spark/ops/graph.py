@@ -1,0 +1,138 @@
+"""Web link-graph analytics: href extraction, degree statistics, and
+PageRank (Page et al. 1999, "The PageRank Citation Ranking").
+
+A web-corpus pipeline uses the link graph for spam/quality signals
+(in-degree, reciprocal-link farms, PageRank mass) next to the text-level
+filters. The reference engine has no graph operators; these follow the
+repo's iterative-operator pattern (ops/components.py).
+
+Scale shape (100 TB):
+- ``extract_links``: a narrow codegen projection (regexp_extract_all +
+  explode) — no shuffle until the caller aggregates.
+- ``degree_stats``: two uniform-key groupBys (src, dst) + one outer join
+  on node. Mega-hub skew on dst is the salted-aggregation shape
+  (ops/partitioning.py) if a single host dominates.
+- ``pagerank``: per iteration ONE shuffle (groupBy dst) + one join back
+  to the node table; ranks are node-sized, edges are the big table and
+  are re-used unshuffled each round (join on src is broadcast-able only
+  when nodes fit — at web scale both sides shuffle-hash on node id, and
+  pre-bucketing edges by src makes every round's join co-located).
+  Lineage is truncated per round with localCheckpoint like
+  ops/components.py.
+
+Engine-exact iteration (the repo's float-parity discipline): each edge
+contribution is round(rank/out_deg, 9) cast DECIMAL(38,9) BEFORE the sum,
+so the per-destination aggregation is order-independent and bit-equal
+across engines; the new rank is round(base + damping*sum, 9) — one
+IEEE-exact add/multiply chain on already-rounded values. Dangling-node
+mass (out_deg = 0) is dropped, the standard map-reduce simplification;
+ranks then sum to < 1 but the ordering signal is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# href="..." / href='...' — attribute form only, tag-agnostic (matches <a>,
+# <link>, <area>); the canonicalization/scheme filter composes downstream
+# (ops/urls.canonical_url).
+HREF_RE = r"""href=["']([^"']+)["']"""
+
+
+def extract_links(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, href) per href attribute occurrence, document order
+    preserved in ``pos``. Pure codegen (regexp_extract_all + posexplode)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col(html_col).cast("string"), F.lit(HREF_RE), 1
+            )
+        ).alias("pos", "href"),
+    )
+
+
+def degree_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node out-degree and in-degree over a distinct edge set."""
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).distinct()
+    out_d = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("out_deg")
+    )
+    in_d = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("long").alias("in_deg")
+    )
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(node, rank) after ``n_iter`` synchronous iterations from the
+    uniform start round(1/N, 9). See module docstring for the exact
+    arithmetic contract (shared with the unrolled SQL twin,
+    __spark_entry__.pagerank_iter_sql)."""
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).distinct()
+    e = e.persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_deg = e.groupBy("src").agg(F.count("*").cast("long").alias("out_deg"))
+    e_deg = e.join(out_deg, "src").persist()
+
+    n = nodes.count()
+    base = 1.0 - damping  # teleport mass; divided by N in the update
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0) / F.lit(float(n)), 9).alias("rank")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            e_deg.join(ranks, e_deg.src == ranks.node)
+            .select(
+                "dst",
+                F.round(F.col("rank") / F.col("out_deg"), 9)
+                .cast("decimal(38,9)")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(
+            contrib, nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            F.round(
+                F.lit(base) / F.lit(float(n))
+                + F.lit(damping)
+                * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                9,
+            ).alias("rank"),
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    ranks.cached_deps = [e, e_deg]
+    return ranks

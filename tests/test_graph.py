@@ -1,0 +1,108 @@
+"""Link-graph ops (ops/graph.py): href extraction edge cases, degree
+stats, and PageRank against a hand-computed power iteration."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kenlm_rs_spark.ops.graph import degree_stats, extract_links, pagerank
+
+
+def test_extract_links_quote_forms_and_order(spark):
+    html = (
+        "<a href=\"https://a.example/x\">one</a> "
+        "<link rel='css' href='/s.css'> "
+        "<area href=\"#frag\"> <p>no href here</p> "
+        "<a data-href=\"https://decoy.example\">decoy</a>"
+    )
+    df = spark.createDataFrame([(7, html)], "doc_id long, html string")
+    got = [(r["pos"], r["href"]) for r in extract_links(df).orderBy("pos").collect()]
+    # data-href matches the attribute-suffix form too (href=) — document the
+    # contract: any *href= attribute is harvested; canonicalization filters.
+    assert got[0] == (0, "https://a.example/x")
+    assert got[1] == (1, "/s.css")
+    assert got[2] == (2, "#frag")
+
+
+def test_extract_links_binary_and_empty(spark):
+    df = spark.createDataFrame(
+        [(0, bytearray(b'<a href="https://b.example/">x</a>')), (1, bytearray(b"<p>none</p>"))],
+        "doc_id long, html binary",
+    )
+    got = {(r["doc_id"], r["href"]) for r in extract_links(df).collect()}
+    assert got == {(0, "https://b.example/")}
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_degree_stats(spark):
+    e = _edges(spark, [(0, 1), (0, 2), (1, 2), (2, 0), (0, 1)])  # dup edge
+    got = {r["node"]: (r["out_deg"], r["in_deg"]) for r in degree_stats(e).collect()}
+    assert got == {0: (2, 1), 1: (1, 1), 2: (1, 2)}
+
+
+def _naive_pagerank(edges, n_iter, damping=0.85):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    n = len(nodes)
+    rank = {v: round(1.0 / n, 9) for v in nodes}
+    for _ in range(n_iter):
+        agg = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            agg[d] += round(rank[s] / out[s], 9)
+        rank = {
+            v: round((1.0 - damping) / n + damping * round(agg[v], 9), 9)
+            for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_matches_naive(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (3, 0), (4, 0), (0, 2)]
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges(spark, edges), n_iter=4).collect()
+    }
+    want = _naive_pagerank(edges, 4)
+    assert set(got) == set(want)
+    for v in want:
+        # the naive twin sums floats then rounds; the decimal sum differs
+        # by at most one 1e-9 step per iteration
+        assert got[v] == pytest.approx(want[v], abs=5e-9)
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    # star: every leaf -> hub 0, hub -> leaf 1
+    edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges(spark, edges), n_iter=5).collect()
+    }
+    assert got[0] == max(got.values())
+    assert all(got[0] > got[v] for v in range(2, 6))
+
+
+def test_pagerank_zero_iters_is_uniform(spark):
+    e = _edges(spark, [(0, 1), (1, 0)])
+    got = {r["node"]: r["rank"] for r in pagerank(e, n_iter=0).collect()}
+    assert got == {0: 0.5, 1: 0.5}
+
+
+def test_pagerank_dangling_mass_drops(spark):
+    # 1 has no out-links: its mass vanishes (documented simplification)
+    e = _edges(spark, [(0, 1)])
+    got = {r["node"]: r["rank"] for r in pagerank(e, n_iter=2).collect()}
+    assert sum(got.values()) < 1.0
+    assert got[1] > got[0]
+
+
+def test_pagerank_plan_no_cartesian(spark):
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0)])
+    out = pagerank(e, n_iter=2, checkpoint=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for dep in out.cached_deps:
+        dep.unpersist()
