@@ -1113,6 +1113,56 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_search(docs, qdf, k=5)
 
 
+def q_warc_parse(spark, sf_dir):
+    """WARC source parsing (sources/warc.py): documents are serialized
+    into multi-record WARC files (10 records/file, codegen string build →
+    binary), parsed back by the real byte-level record walker, and every
+    header/payload field is checked against the oracle's arithmetic
+    reconstruction — the parser never sees the oracle's strings."""
+    from kenlm_rs_spark.sources.warc import parse_warc
+
+    docs = _docs(spark, sf_dir)
+    dd = F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0")
+    uri = F.concat(
+        F.lit("https://w"), (F.col("doc_id") % 13).cast("string"),
+        F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
+    )
+    date = F.concat(F.lit("2024-01-"), dd, F.lit("T00:00:00Z"))
+    body = F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>"))
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), body
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), uri,
+        F.lit("\r\nWARC-Date: "), date,
+        F.lit("\r\nContent-Length: "), F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"),
+    )
+    files = (
+        docs.select(
+            (F.col("doc_id") % 50).alias("file_id"),
+            F.struct("doc_id", rec.alias("rec")).alias("s"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("s")), lambda s: s["rec"]
+                ),
+                "",
+            ).alias("content_str")
+        )
+        .select("file_id", F.col("content_str").cast("binary").alias("content"))
+    )
+    parsed = parse_warc(files, keep_cols=["file_id"])
+    return parsed.select(
+        "file_id", "record_seq", "warc_version", "warc_type", "target_uri",
+        "warc_date", "content_length", "http_status",
+        F.octet_length("body").alias("body_len"),
+        F.sha2("body", 256).alias("body_sha"),
+    )
+
+
 def _synth_edges(docs):
     """Deterministic link graph over the documents table: every doc i links
     to (7i+13)%N, (31i+5)%N, and its decade hub i−i%10 (≈10× in-degree on
@@ -1537,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": q_extract_links,
         "link_degrees": q_link_degrees,
         "pagerank": q_pagerank,
+        "warc_parse": q_warc_parse,
     }
 
 
@@ -3145,4 +3196,31 @@ def oracle_sql() -> dict[str, str]:
             FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
         """,
         "pagerank": _pagerank_oracle_sql(n_iter=5),
+        # arithmetic reconstruction of every WARC field the parser must
+        # recover — the parser walks real bytes, the oracle never builds
+        # them (only the strings the bytes were made from).
+        "warc_parse": r"""
+            WITH b AS (
+              SELECT doc_id, doc_id % 50 AS file_id,
+                'https://w' || (doc_id % 13) || '.example.org/p/' || doc_id
+                  AS target_uri,
+                '2024-01-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+                  || 'T00:00:00Z' AS warc_date,
+                '<html><body>' || text || '</body></html>' AS body
+              FROM documents
+            )
+            SELECT file_id,
+              CAST(row_number() OVER (
+                PARTITION BY file_id ORDER BY doc_id) - 1 AS INT)
+                AS record_seq,
+              'WARC/1.0' AS warc_version, 'response' AS warc_type,
+              target_uri, warc_date,
+              CAST(strlen(
+                e'HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n' || body)
+                AS BIGINT) AS content_length,
+              200 AS http_status,
+              CAST(strlen(body) AS INT) AS body_len,
+              sha256(body) AS body_sha
+            FROM b
+        """,
     }
