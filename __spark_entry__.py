@@ -1113,6 +1113,16 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_search(docs, qdf, k=5)
 
 
+def q_dedup_spans_removed(spark, sf_dir):
+    """ExactSubstr span removal (ops/spans.py): corpus-duplicated 5-token
+    spans cut from every doc except each span's canonical first occurrence
+    (min doc_id*1e9+pos, exact integer arithmetic shared with the SQL
+    twin); cleaned text re-joined token stream, byte-compared."""
+    from kenlm_rs_spark.ops.spans import remove_duplicated_spans
+
+    return remove_duplicated_spans(_docs(spark, sf_dir), n=5)
+
+
 def q_warc_parse(spark, sf_dir):
     """WARC source parsing (sources/warc.py): documents are serialized
     into multi-record WARC files (10 records/file, codegen string build →
@@ -1588,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_degrees": q_link_degrees,
         "pagerank": q_pagerank,
         "warc_parse": q_warc_parse,
+        "dedup_spans_removed": q_dedup_spans_removed,
     }
 
 
@@ -3222,5 +3233,54 @@ def oracle_sql() -> dict[str, str]:
               CAST(strlen(body) AS INT) AS body_len,
               sha256(body) AS body_sha
             FROM b
+        """,
+        # span-removal twin: the token list is MATERIALIZED once per doc
+        # before the lateral range joins (the CLAUDE.md list-inlining
+        # O(n^2) pathology applies to comprehensions AND laterals).
+        "dedup_spans_removed": f"""
+            WITH t AS MATERIALIZED (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), tok AS (
+              SELECT doc_id, generate_subscripts(toks, 1) - 1 AS tpos,
+                     unnest(toks) AS token
+              FROM t
+            ), sp0 AS (
+              SELECT doc_id,
+                     unnest([{{'pos': i - 1,
+                               'span': array_to_string(toks[i:i + 4], ' ')}}
+                             for i in range(1, greatest(len(toks) - 4, 0) + 1)],
+                            recursive := true)
+              FROM t
+            ), sp AS (
+              SELECT doc_id, pos, span,
+                     doc_id * 1000000000 + pos AS k
+              FROM sp0
+            ), dup AS (
+              SELECT span, min(k) AS first_k
+              FROM sp GROUP BY span HAVING count(*) >= 2
+            ), starts AS (
+              SELECT s.doc_id, s.pos
+              FROM sp s JOIN dup d ON d.span = s.span
+              WHERE s.k <> d.first_k
+            ), cov AS (
+              SELECT DISTINCT doc_id, pos + r.o AS tpos
+              FROM starts, range(0, 5) r(o)
+            ), kept AS (
+              SELECT doc_id, tpos, token
+              FROM tok ANTI JOIN cov USING (doc_id, tpos)
+            ), reb AS (
+              SELECT doc_id,
+                     string_agg(token, ' ' ORDER BY tpos) AS cleaned_text,
+                     CAST(count(*) AS BIGINT) AS n_kept
+              FROM kept GROUP BY doc_id
+            ), base AS (
+              SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t
+            )
+            SELECT b.doc_id,
+                   COALESCE(r2.cleaned_text, '') AS cleaned_text,
+                   b.n_tokens,
+                   CAST(b.n_tokens - COALESCE(r2.n_kept, 0) AS BIGINT)
+                     AS n_removed
+            FROM base b LEFT JOIN reb r2 USING (doc_id)
         """,
     }

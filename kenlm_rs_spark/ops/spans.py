@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import ngrams_col
+from .textstats import ngrams_col, tokens_col
 
 
 def duplicated_span_stats(
@@ -73,4 +73,85 @@ def duplicated_span_stats(
                 F.round(F.col("n_dup_spans") / F.col("n_spans"), 9),
             ).alias("dup_span_frac"),
         )
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed: bool = False,
+) -> DataFrame:
+    """ExactSubstr-style span REMOVAL (Lee et al. 2021 §3.1, positional
+    token variant): every corpus-duplicated L-token span is cut from the
+    text EXCEPT its canonical (first) occurrence — the keep-one policy.
+
+    Canonical occurrence = min(doc_id * 10^9 + pos) over the span's
+    occurrences (exact integer arithmetic shared with the SQL twin; the
+    10^9 stride bounds pos < 10^9 and doc_id < 9.2*10^9 — at a larger id
+    space switch the key to min(struct(doc_id, pos))). Tokens of a kept
+    canonical occurrence can still be removed when an OVERLAPPING
+    duplicated span is canonical elsewhere — position-level resolution,
+    deterministic in both engines.
+
+    Output: (doc_id, cleaned_text, n_tokens, n_removed). cleaned_text is
+    the kept tokens re-joined with single spaces (token-stream semantics —
+    original inter-token whitespace is not preserved); '' when everything
+    was duplicated, and for docs shorter than L tokens the text is just
+    re-joined unchanged.
+
+    Scale shape: one uniform-key groupBy on the span (hashed=True makes it
+    an 8-byte xxhash64 key at 10^12 docs), one join back restricted by the
+    count>=2 HAVING filter to actually-duplicated spans, a bounded x L
+    position explode, one anti-join on (doc_id, pos), and a per-doc
+    reassembly aggregate (doc-sized groups). No window over the corpus.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_col(F.col(text_col))).alias("tpos", "token"),
+    )
+    spans = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(ngrams_col(F.col(text_col), n)).alias("pos", "span"),
+    )
+    if hashed:
+        spans = spans.select("doc_id", "pos", F.xxhash64("span").alias("span"))
+    key = F.col("doc_id") * F.lit(1_000_000_000) + F.col("pos")
+    occ = spans.select("doc_id", "pos", "span", key.alias("k"))
+    dup = (
+        occ.groupBy("span")
+        .agg(F.count("*").alias("cnt"), F.min("k").alias("first_k"))
+        .filter(F.col("cnt") >= 2)
+        .select("span", "first_k")
+    )
+    starts = occ.join(dup, "span").filter(F.col("k") != F.col("first_k"))
+    covered = starts.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias(
+            "tpos"
+        ),
+    ).distinct()
+    kept = toks.join(covered, ["doc_id", "tpos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("tpos", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
     )
