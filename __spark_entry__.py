@@ -34,6 +34,12 @@ _TOKS = "list_filter(string_split_regex(text, '[\\x00\\t\\n\\r ]+'), y -> y != '
 _GRAMS3 = "[array_to_string(toks[i+1:i+3], ' ') for i in range(len(toks)-2)]"
 _GRAMS2 = "[array_to_string(toks[i+1:i+2], ' ') for i in range(len(toks)-1)]"
 
+# HLL estimator constant C = alpha_m * m^2 * 2^rho_max, shared with the
+# Spark path (ops/hll.py) so both engines divide by the SAME double.
+from kenlm_rs_spark.ops.hll import _alpha as _hll_alpha  # noqa: E402
+
+_HLL_C = _hll_alpha(256) * 256.0 * 256.0 * float(1 << 41)
+
 
 def _spread_input(df: DataFrame) -> DataFrame:
     """The sandbox tables are single-file/single-row-group parquet, so the
@@ -1123,6 +1129,28 @@ def q_dedup_spans_removed(spark, sf_dir):
     return remove_duplicated_spans(_docs(spark, sf_dir), n=5)
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-token count per language (ops/hll.py, p=8):
+    registers from pure integer/string arithmetic on the salted-md5 48-bit
+    hash (bucket = h%256, rho via length(bin(w)) — no float log2), an
+    EXACT BIGINT harmonic denominator, one IEEE division by the shared
+    C = alpha*m^2*2^41 constant, round-6 linear-counting branch; the true
+    count(DISTINCT) rides along so the error is observable."""
+    from kenlm_rs_spark.ops.hll import hll_distinct
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "lang", F.explode(ts.tokens_col(F.col("text"))).alias("token")
+    )
+    est = hll_distinct(tok, "token", group_cols=["lang"])
+    true = tok.groupBy("lang").agg(
+        F.countDistinct("token").cast("long").alias("n_true")
+    )
+    return true.join(est, "lang").select(
+        "lang", "n_true", "hll_estimate", "v_empty"
+    )
+
+
 def q_warc_parse(spark, sf_dir):
     """WARC source parsing (sources/warc.py): documents are serialized
     into multi-record WARC files (10 records/file, codegen string build →
@@ -1599,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "warc_parse": q_warc_parse,
         "dedup_spans_removed": q_dedup_spans_removed,
+        "hll_distinct": q_hll_distinct,
     }
 
 
@@ -3282,5 +3311,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.n_tokens - COALESCE(r2.n_kept, 0) AS BIGINT)
                      AS n_removed
             FROM base b LEFT JOIN reb r2 USING (doc_id)
+        """,
+        # HLL twin: identical 48-bit salted-md5 hash, integer-only rho via
+        # bin(), exact BIGINT denominator, one IEEE division by the SAME
+        # Python-rendered C constant; round-6 absorbs ln() last-ulp in the
+        # linear-counting branch only.
+        "hll_distinct": f"""
+            WITH tok AS (
+              SELECT lang, unnest(toks) AS token
+              FROM (SELECT lang, {_TOKS} AS toks FROM documents)
+            ), dv AS (
+              SELECT DISTINCT lang, token FROM tok
+            ), h AS (
+              SELECT lang,
+                     ('0x' || substr(md5('hll:' || token), 1, 12))::BIGINT AS h
+              FROM dv
+            ), br AS (
+              SELECT lang, h % 256 AS bucket,
+                     CASE WHEN h // 256 = 0 THEN 41
+                          ELSE 41 - length(bin(h // 256)) END AS rho
+              FROM h
+            ), regs AS (
+              SELECT lang, bucket, max(rho) AS rho FROM br GROUP BY lang, bucket
+            ), agg AS (
+              SELECT lang,
+                     CAST(sum(1::BIGINT << (41 - rho)) AS BIGINT) AS s_pop,
+                     CAST(count(*) AS BIGINT) AS nb
+              FROM regs GROUP BY lang
+            ), est AS (
+              SELECT lang, 256 - nb AS v,
+                     CAST(s_pop + (256 - nb) * (1::BIGINT << 41) AS BIGINT) AS s
+              FROM agg
+            ), fin AS (
+              SELECT lang,
+                     CASE WHEN {_HLL_C!r} / CAST(s AS DOUBLE) <= 640.0 AND v > 0
+                          THEN round(256.0 * ln(256.0 / CAST(v AS DOUBLE)), 6)
+                          ELSE round({_HLL_C!r} / CAST(s AS DOUBLE), 6) END
+                       AS hll_estimate,
+                     CAST(v AS BIGINT) AS v_empty
+              FROM est
+            ), tru AS (
+              SELECT lang, CAST(count(DISTINCT token) AS BIGINT) AS n_true
+              FROM tok GROUP BY lang
+            )
+            SELECT t.lang, t.n_true, f.hll_estimate, f.v_empty
+            FROM tru t JOIN fin f USING (lang)
         """,
     }
