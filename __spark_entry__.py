@@ -1129,6 +1129,39 @@ def q_dedup_spans_removed(spark, sf_dir):
     return remove_duplicated_spans(_docs(spark, sf_dir), n=5)
 
 
+def q_anchor_topk(spark, sf_dir):
+    """Anchor-text aggregation (ops/graph.py::extract_anchors +
+    anchor_text_topk): pages synthesized with two <a> tags per doc (double-
+    and single-quoted hrefs, attributes before/after href, 3-way anchor
+    variety so k=2 actually truncates); the oracle predicts every
+    (href, anchor) pair from doc_id arithmetic — regex or ranking defects
+    go hash-red."""
+    from kenlm_rs_spark.ops.graph import anchor_text_topk, extract_anchors
+
+    docs = _docs(spark, sf_dir)
+    a2 = (
+        F.when(F.col("doc_id") % 7 < 2, F.lit("alpha"))
+        .when(F.col("doc_id") % 7 < 4, F.lit("beta"))
+        .otherwise(F.lit("gamma"))
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="https://s'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('.com/">'),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("home")).otherwise(
+            F.lit("welcome")
+        ),
+        F.lit("</a><p>x</p><a class=\"nav\" href='/p/"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("' rel=nofollow>"),
+        a2,
+        F.lit("</a></body></html>"),
+    )
+    return anchor_text_topk(
+        extract_anchors(docs.select("doc_id", html.alias("html"))), k=2
+    )
+
+
 def q_hll_distinct(spark, sf_dir):
     """HyperLogLog distinct-token count per language (ops/hll.py, p=8):
     registers from pure integer/string arithmetic on the salted-md5 48-bit
@@ -1628,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_parse": q_warc_parse,
         "dedup_spans_removed": q_dedup_spans_removed,
         "hll_distinct": q_hll_distinct,
+        "anchor_topk": q_anchor_topk,
     }
 
 
@@ -3356,5 +3390,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT t.lang, t.n_true, f.hll_estimate, f.v_empty
             FROM tru t JOIN fin f USING (lang)
+        """,
+        # anchor-topk twin: every (href, anchor) pair predicted from
+        # doc_id arithmetic — the regex never runs here.
+        "anchor_topk": """
+            WITH a AS (
+              SELECT 'https://s' || (doc_id % 5) || '.com/' AS href,
+                     CASE WHEN doc_id % 2 = 0 THEN 'home'
+                          ELSE 'welcome' END AS anchor
+              FROM documents
+              UNION ALL
+              SELECT '/p/' || (doc_id % 3) AS href,
+                     CASE WHEN doc_id % 7 < 2 THEN 'alpha'
+                          WHEN doc_id % 7 < 4 THEN 'beta'
+                          ELSE 'gamma' END AS anchor
+              FROM documents
+            ), cnt AS (
+              SELECT href, anchor, CAST(count(*) AS BIGINT) AS n
+              FROM a GROUP BY href, anchor
+            )
+            SELECT href, anchor, n,
+                   CAST(row_number() OVER (
+                     PARTITION BY href ORDER BY n DESC, anchor
+                   ) AS BIGINT) AS rnk
+            FROM cnt QUALIFY rnk <= 2
         """,
     }

@@ -136,3 +136,51 @@ def pagerank(
             ranks = ranks.localCheckpoint(eager=False)
     ranks.cached_deps = [e, e_deg]
     return ranks
+
+
+# <a ...href="...">anchor</a> — href + inner text captured by ONE pattern so
+# the two regexp_extract_all passes align positionally (arrays_zip). Inner
+# text stops at the first '<' (no nested markup), the common-crawl-practical
+# subset; both quote styles accepted, attributes may precede/follow href.
+ANCHOR_RE = r"""<a [^>]*?href=["']([^"']+)["'][^>]*>([^<]*)</a>"""
+
+
+def extract_anchors(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, pos, href, anchor) per <a> occurrence — pure codegen: the
+    SAME regex run once per capture group, zipped positionally (identical
+    match set, so the arrays always align). Anchor text is a search/quality
+    signal aggregated per TARGET page (anchor_text_topk)."""
+    html = F.col(html_col).cast("string")
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(html, F.lit(ANCHOR_RE), 1).alias("href"),
+        F.regexp_extract_all(html, F.lit(ANCHOR_RE), 2).alias("anchor"),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(pairs).alias("pos", "z")
+    ).select("doc_id", "pos", F.col("z.href").alias("href"), F.col("z.anchor").alias("anchor"))
+
+
+def anchor_text_topk(anchors: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k anchor texts per target href by occurrence count, ties broken
+    on anchor text ascending (deterministic, engine-portable).
+
+    Scale shape: the corpus-sized explode collapses in ONE uniform-key
+    groupBy (href, anchor) with map-side combine; the window then runs on
+    the distinct-anchor table, whose per-href partitions are bounded by
+    anchor-text diversity, not by link popularity (a mega-hub with 10^9
+    in-links and 50 distinct anchor strings is a 50-row partition). A
+    pathological href with millions of DISTINCT anchors is the salted
+    two-phase aggregation shape (ops/partitioning.py) — cap with a
+    HAVING count >= floor first at 10^12."""
+    from pyspark.sql import Window
+
+    cnt = anchors.groupBy("href", "anchor").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("href").orderBy(F.col("n").desc(), F.col("anchor"))
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -106,3 +106,45 @@ def test_pagerank_plan_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     for dep in out.cached_deps:
         dep.unpersist()
+
+
+def test_extract_anchors_edge_cases(spark):
+    from kenlm_rs_spark.ops.graph import extract_anchors
+
+    html = (
+        '<a href="https://a.com/">A Site</a>'
+        "<a class='x' href='/rel' rel=nofollow>rel page</a>"
+        '<a href="https://b.com/"></a>'          # empty anchor text kept
+        '<a href="https://c.com/">has <b>markup</b></a>'  # stops at '<' -> no match
+        '<link href="/css/x.css">'               # not an <a> -> no match
+    )
+    rows = (
+        extract_anchors(
+            spark.createDataFrame([(1, html)], "doc_id long, html string")
+        )
+        .orderBy("pos")
+        .collect()
+    )
+    assert [(r["href"], r["anchor"]) for r in rows] == [
+        ("https://a.com/", "A Site"),
+        ("/rel", "rel page"),
+        ("https://b.com/", ""),
+    ]
+
+
+def test_anchor_topk_rank_and_tiebreak(spark):
+    from kenlm_rs_spark.ops.graph import anchor_text_topk
+
+    rows = (
+        [(i, "/t", "big") for i in range(5)]
+        + [(i, "/t", "mid") for i in range(3)]
+        + [(i, "/t", "also-mid") for i in range(3)]
+        + [(0, "/t", "small")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, href string, anchor string")
+    got = [
+        (r["anchor"], r["n"], r["rnk"])
+        for r in anchor_text_topk(df, k=2).orderBy("rnk").collect()
+    ]
+    # tie at n=3 broken on anchor asc: 'also-mid' beats 'mid'; k=2 drops both others
+    assert got == [("big", 5, 1), ("also-mid", 3, 2)]
