@@ -1129,6 +1129,34 @@ def q_dedup_spans_removed(spark, sf_dir):
     return remove_duplicated_spans(_docs(spark, sf_dir), n=5)
 
 
+def q_crawl_diff(spark, sf_dir):
+    """Crawl-snapshot diff (ops/crawldiff.py): snapshot A = every doc,
+    snapshot B drops doc_id%5==0 (removed), rewrites doc_id%3==0 text
+    (changed), and adds fresh URLs for doc_id%7==0; one full-outer join on
+    the URL classifies each page. The oracle rebuilds both snapshots with
+    identical md5 content hashes."""
+    from kenlm_rs_spark.ops.crawldiff import crawl_diff
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://d"), F.col("doc_id").cast("string"), F.lit(".com/p")
+    )
+    old = docs.select(url.alias("url"), F.md5("text").alias("content_hash"))
+    changed = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        url.alias("url"), F.md5(changed).alias("content_hash")
+    )
+    added = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat(
+            F.lit("https://new"), F.col("doc_id").cast("string"), F.lit(".com/")
+        ).alias("url"),
+        F.md5(F.concat(F.lit("fresh:"), F.col("text"))).alias("content_hash"),
+    )
+    return crawl_diff(old, new.unionByName(added))
+
+
 def q_anchor_topk(spark, sf_dir):
     """Anchor-text aggregation (ops/graph.py::extract_anchors +
     anchor_text_topk): pages synthesized with two <a> tags per doc (double-
@@ -1662,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans_removed": q_dedup_spans_removed,
         "hll_distinct": q_hll_distinct,
         "anchor_topk": q_anchor_topk,
+        "crawl_diff": q_crawl_diff,
     }
 
 
@@ -3414,5 +3443,29 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY href ORDER BY n DESC, anchor
                    ) AS BIGINT) AS rnk
             FROM cnt QUALIFY rnk <= 2
+        """,
+        # crawl-diff twin: both snapshots rebuilt with the same md5 hashes;
+        # the full-outer classification is plain SQL.
+        "crawl_diff": """
+            WITH old AS (
+              SELECT 'https://d' || doc_id || '.com/p' AS url,
+                     md5(text) AS old_hash
+              FROM documents
+            ), new AS (
+              SELECT 'https://d' || doc_id || '.com/p' AS url,
+                     md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                              ELSE text END) AS new_hash
+              FROM documents WHERE doc_id % 5 <> 0
+              UNION ALL
+              SELECT 'https://new' || doc_id || '.com/' AS url,
+                     md5('fresh:' || text) AS new_hash
+              FROM documents WHERE doc_id % 7 = 0
+            )
+            SELECT COALESCE(o.url, n.url) AS url, o.old_hash, n.new_hash,
+                   CASE WHEN o.old_hash IS NULL THEN 'added'
+                        WHEN n.new_hash IS NULL THEN 'removed'
+                        WHEN o.old_hash = n.new_hash THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.url = n.url
         """,
     }
