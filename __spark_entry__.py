@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from kenlm_rs_spark.ops import dedup, similarity
 from kenlm_rs_spark.ops import textstats as ts
+from kenlm_rs_spark.pipeline.extract import extract_sql_expr
 from kenlm_rs_spark.pipeline.scrub import scrub_sql_expr, scrub_text
 
 SF_DEFAULT = "/root/testdata/sf0.001"
@@ -1212,15 +1213,11 @@ def q_hll_distinct(spark, sf_dir):
     )
 
 
-def q_warc_parse(spark, sf_dir):
-    """WARC source parsing (sources/warc.py): documents are serialized
-    into multi-record WARC files (10 records/file, codegen string build →
-    binary), parsed back by the real byte-level record walker, and every
-    header/payload field is checked against the oracle's arithmetic
-    reconstruction — the parser never sees the oracle's strings."""
-    from kenlm_rs_spark.sources.warc import parse_warc
-
-    docs = _docs(spark, sf_dir)
+def _synth_warc_files(docs):
+    """Serialize documents into multi-record WARC files (10 records/file,
+    codegen string build → binary) — shared by q_warc_parse and
+    q_warc_wet; every field is doc_id-arithmetic so oracles can
+    reconstruct records without parsing bytes."""
     dd = F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0")
     uri = F.concat(
         F.lit("https://w"), (F.col("doc_id") % 13).cast("string"),
@@ -1253,12 +1250,48 @@ def q_warc_parse(spark, sf_dir):
         )
         .select("file_id", F.col("content_str").cast("binary").alias("content"))
     )
-    parsed = parse_warc(files, keep_cols=["file_id"])
+    return files
+
+
+def q_warc_parse(spark, sf_dir):
+    """WARC source parsing (sources/warc.py): documents are serialized
+    into multi-record WARC files, parsed back by the real byte-level
+    record walker, and every header/payload field is checked against the
+    oracle's arithmetic reconstruction — the parser never sees the
+    oracle's strings."""
+    from kenlm_rs_spark.sources.warc import parse_warc
+
+    parsed = parse_warc(
+        _synth_warc_files(_docs(spark, sf_dir)), keep_cols=["file_id"]
+    )
     return parsed.select(
         "file_id", "record_seq", "warc_version", "warc_type", "target_uri",
         "warc_date", "content_length", "http_status",
         F.octet_length("body").alias("body_len"),
         F.sha2("body", 256).alias("body_sha"),
+    )
+
+
+def q_warc_wet(spark, sf_dir):
+    """WARC → WET conversion end-to-end (sources/warc.py::parse_warc →
+    pipeline/extract.py::extract_text): raw WARC bytes in, per-page
+    extracted-text records out — the Common Crawl WET deliverable. The
+    oracle rebuilds each record arithmetically and runs the RE2-safe
+    extraction twin (extract_sql_expr) on the reconstructed HTML, so both
+    the byte-level parse and the byte-identical-extraction invariant
+    (BASELINE.json input_hint) are checked in one row."""
+    from kenlm_rs_spark.pipeline.extract import extract_text
+    from kenlm_rs_spark.sources.warc import parse_warc
+
+    parsed = parse_warc(
+        _synth_warc_files(_docs(spark, sf_dir)), keep_cols=["file_id"]
+    )
+    wet = extract_text(F.col("body"))
+    return parsed.filter(F.col("warc_type") == "response").select(
+        "target_uri",
+        "warc_date",
+        wet.alias("wet_text"),
+        F.octet_length(wet).cast("long").alias("wet_len"),
     )
 
 
@@ -1691,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "anchor_topk": q_anchor_topk,
         "crawl_diff": q_crawl_diff,
+        "warc_wet": q_warc_wet,
     }
 
 
@@ -3467,5 +3501,23 @@ def oracle_sql() -> dict[str, str]:
                         WHEN o.old_hash = n.new_hash THEN 'unchanged'
                         ELSE 'changed' END AS status
             FROM old o FULL OUTER JOIN new n ON o.url = n.url
+        """,
+        # WARC->WET twin: records reconstructed arithmetically, extraction
+        # via the RE2-safe shared chain (pipeline/extract.extract_sql_expr)
+        # — the Spark side parsed real bytes and ran the Java-regex chain.
+        "warc_wet": f"""
+            WITH rec AS (
+              SELECT
+                'https://w' || (doc_id % 13) || '.example.org/p/' || doc_id
+                  AS target_uri,
+                '2024-01-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+                  || 'T00:00:00Z' AS warc_date,
+                '<html><body>' || text || '</body></html>' AS html
+              FROM documents
+            )
+            SELECT target_uri, warc_date,
+                   {extract_sql_expr('html')} AS wet_text,
+                   CAST(strlen({extract_sql_expr('html')}) AS BIGINT) AS wet_len
+            FROM rec
         """,
     }

@@ -52,3 +52,21 @@ def with_extracted_text(df, html_col: str = "html", text_col: str = "text"):
         text_col,
         F.coalesce(F.col(text_col), extract_text(F.col(html_col))),
     )
+
+
+def extract_sql_expr(col: str) -> str:
+    """DuckDB twin of extract_text (oracle side). RE2 has no
+    backreferences, so the script/style strip renders as one global pass
+    per tag instead of the Java-regex `</\\1>` form — same behavior except
+    on pathologically interleaved <script>/<style> nesting; entity table
+    and whitespace collapse shared with the Spark chain."""
+    t = f"CAST({col} AS VARCHAR)"
+    for tag in ("script", "style"):
+        t = f"regexp_replace({t}, '<{tag}[^>]*>.*?</{tag}>', ' ', 'gs')"
+    t = f"regexp_replace({t}, '<[^>]*>', ' ', 'g')"
+    for ent, rep in _ENTITIES:
+        ent_sql = ent.replace("'", "''")
+        rep_sql = rep.replace("'", "''")
+        t = f"replace({t}, '{ent_sql}', '{rep_sql}')"
+    t = f"regexp_replace({t}, '[ \\t\\r\\n]+', ' ', 'g')"
+    return f"trim({t})"

@@ -101,3 +101,27 @@ def test_parse_warc_spark_surface(spark):
     assert out[1]["target_uri"] == "https://s/1"
     assert out[0]["http_status"] == 200
     assert out[0]["content_length"] == len(_http(b"body0"))
+
+
+def test_extract_sql_expr_matches_python_twin():
+    # oracle-side RE2-safe chain == the frozen Python/Spark extractor
+    import duckdb
+
+    from kenlm_rs_spark.pipeline.extract import extract_sql_expr, extract_text_py
+
+    cases = [
+        "<html><body>plain words</body></html>",
+        '<script a="b">x</script>kept<style>y{}</style>',
+        "a &amp;&lt;&gt;&quot;&#39;&nbsp; b",
+        "no markup at all",
+        "  spaced\t\tout\r\n lines ",
+        "<SCRIPT>not stripped (case-sensitive, both engines)</html>",
+        "",
+    ]
+    con = duckdb.connect()
+    for html in cases:
+        got = con.sql(
+            f"SELECT {extract_sql_expr('h')} AS t FROM (SELECT ? AS h)",
+            params=[html],
+        ).fetchone()[0]
+        assert got == extract_text_py(html), html
