@@ -109,6 +109,19 @@ BENCH_QUERIES = [
     "bloom_filter",
     "cms_counts",
     "bpe_merges",
+    # added late r05 (appended so earlier per-query timings stay comparable)
+    "inverted_index",
+    "tfidf_topk",
+    "bm25_topk",
+    "extract_links",
+    "link_degrees",
+    "pagerank",
+    "warc_parse",
+    "warc_wet",
+    "dedup_spans_removed",
+    "hll_distinct",
+    "anchor_topk",
+    "crawl_diff",
 ]
 
 
