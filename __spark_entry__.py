@@ -1130,6 +1130,29 @@ def q_dedup_spans_removed(spark, sf_dir):
     return remove_duplicated_spans(_docs(spark, sf_dir), n=5)
 
 
+def q_fix_mojibake(spark, sf_dir):
+    """Mojibake repair (ops/encoding.py): text is injected with é / ’ / €,
+    corrupted by the real UTF-8-read-as-cp1252 transcode (Arrow UDF), then
+    repaired by the strict ftfy-subset fixpoint; the oracle predicts BOTH
+    the corrupted and repaired strings from literal replaces — transcode
+    and repair defects each go hash-red."""
+    from kenlm_rs_spark.ops.encoding import corrupt_utf8_col, fix_mojibake_col
+
+    docs = _docs(spark, sf_dir)
+    injected = F.concat(
+        F.replace(F.col("text"), F.lit("e"), F.lit("é")),
+        F.lit(" don’t €5"),
+    )
+    d = docs.select("doc_id", corrupt_utf8_col(injected).alias("corrupted"))
+    fixed = fix_mojibake_col(F.col("corrupted"))
+    return d.select(
+        "doc_id",
+        "corrupted",
+        fixed.alias("repaired"),
+        (fixed != F.col("corrupted")).alias("was_fixed"),
+    )
+
+
 def q_crawl_diff(spark, sf_dir):
     """Crawl-snapshot diff (ops/crawldiff.py): snapshot A = every doc,
     snapshot B drops doc_id%5==0 (removed), rewrites doc_id%3==0 text
@@ -1725,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_topk": q_anchor_topk,
         "crawl_diff": q_crawl_diff,
         "warc_wet": q_warc_wet,
+        "fix_mojibake": q_fix_mojibake,
     }
 
 
@@ -3519,5 +3543,16 @@ def oracle_sql() -> dict[str, str]:
                    {extract_sql_expr('html')} AS wet_text,
                    CAST(strlen({extract_sql_expr('html')}) AS BIGINT) AS wet_len
             FROM rec
+        """,
+        # mojibake twin: UTF-8-as-cp1252 of é is 'Ã©', of ’ is 'â€™', of €
+        # is 'â‚¬' — the oracle predicts corruption AND repair by literal
+        # replaces, never transcoding.
+        "fix_mojibake": """
+            SELECT doc_id,
+                   replace(text, 'e', 'Ã©') || ' donâ€™t â‚¬5' AS corrupted,
+                   replace(text, 'e', 'é') || ' don’t €5' AS repaired,
+                   (replace(text, 'e', 'Ã©') || ' donâ€™t â‚¬5')
+                     <> (replace(text, 'e', 'é') || ' don’t €5') AS was_fixed
+            FROM documents
         """,
     }
