@@ -1130,6 +1130,33 @@ def q_dedup_spans_removed(spark, sf_dir):
     return remove_duplicated_spans(_docs(spark, sf_dir), n=5)
 
 
+def q_domain_prior(spark, sf_dir):
+    """Per-domain quality prior (ops/domain_prior.py): URLs synthesized so
+    several hosts collapse into shared registered domains (including a
+    .co.uk family only the PSL path keeps apart); per-doc classifier
+    scores are round-6 DECIMAL(38,9) before the domain mean, broadcast
+    join-back. Oracle composes the same two SQL twins."""
+    from kenlm_rs_spark.ops.domain_prior import domain_quality_prior
+
+    docs = _docs(spark, sf_dir)
+    host = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("s"), (F.col("doc_id") % 11).cast("string"), F.lit(".co.uk")),
+    ).otherwise(
+        F.concat(
+            F.lit("h"),
+            (F.col("doc_id") % 6).cast("string"),
+            F.lit(".d"),
+            (F.col("doc_id") % 17).cast("string"),
+            F.lit(".example.com"),
+        )
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/p/"), F.col("doc_id").cast("string")
+    )
+    return domain_quality_prior(docs.select("doc_id", "text", url.alias("url")))
+
+
 def q_fix_mojibake(spark, sf_dir):
     """Mojibake repair (ops/encoding.py): text is injected with é / ’ / €,
     corrupted by the real UTF-8-read-as-cp1252 transcode (Arrow UDF), then
@@ -1749,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": q_crawl_diff,
         "warc_wet": q_warc_wet,
         "fix_mojibake": q_fix_mojibake,
+        "domain_prior": q_domain_prior,
     }
 
 
@@ -1833,7 +1861,11 @@ def oracle_sql() -> dict[str, str]:
     )
     from kenlm_rs_spark.ops.urls import url_pattern_reason_sql_expr
     from kenlm_rs_spark.ops.winnow import kgram_hashes_sql, winnow_from_hashes_sql
-    from kenlm_rs_spark.pipeline.classifier import classifier_sql_query
+    from kenlm_rs_spark.pipeline.classifier import (
+        _TOKS_SQL,
+        classifier_score_sql_expr,
+        classifier_sql_query,
+    )
 
     toks = _with_toks()
     stop_list = "['" + "','".join(ts.STOPWORDS) + "']"
@@ -3554,5 +3586,31 @@ def oracle_sql() -> dict[str, str]:
                    (replace(text, 'e', 'Ã©') || ' donâ€™t â‚¬5')
                      <> (replace(text, 'e', 'é') || ' don’t €5') AS was_fixed
             FROM documents
+        """,
+        # domain-prior twin: the same PSL registered-domain and classifier
+        # SQL twins composed; per-doc scores round-6 DECIMAL(38,9) before
+        # the domain mean (order-independent), ONE IEEE division after.
+        "domain_prior": f"""
+            WITH d AS (
+              SELECT doc_id, text,
+                CASE WHEN doc_id % 4 = 0
+                     THEN 'https://s' || (doc_id % 11) || '.co.uk/p/' || doc_id
+                     ELSE 'https://h' || (doc_id % 6) || '.d' || (doc_id % 17)
+                          || '.example.com/p/' || doc_id END AS url
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     {registered_domain_sql_expr('url', psl=True)} AS domain,
+                     CAST(round({classifier_score_sql_expr('text')}, 6)
+                          AS DECIMAL(38,9)) AS s
+              FROM (SELECT *, {_TOKS_SQL.format(col='text')} AS tk FROM d)
+            ), p AS (
+              SELECT domain, CAST(count(*) AS BIGINT) AS n_domain_docs,
+                     round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                       AS domain_score
+              FROM s GROUP BY domain
+            )
+            SELECT s.doc_id, s.domain, p.n_domain_docs, p.domain_score
+            FROM s JOIN p USING (domain)
         """,
     }
