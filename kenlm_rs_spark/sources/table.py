@@ -127,3 +127,51 @@ class SnapshotTable:
             raise ValueError("table has no snapshots")
         files = self._manifest(version)["files"]
         return self.spark.read.parquet(*files)
+
+    def read_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Incremental append scan (Iceberg's incremental read): rows in
+        data files ADDED strictly after ``from_version`` up to and
+        including ``to_version`` (default: current). The cadence-pipeline
+        primitive — process only the new crawl's pages (pairs with
+        ops/crawldiff for changed-page detection) instead of re-scanning
+        the table; at a 100 TB table with a 1 TB daily append this is the
+        difference between a 1x and a 100x daily read.
+
+        Raises if the range crosses an ``overwrite`` snapshot (an
+        incremental scan over a replace is undefined — Iceberg's
+        incremental scan has the same append-only contract) or if
+        ``from_version`` is not an ancestor of ``to_version``."""
+        to_version = (
+            self._current_version() if to_version is None else to_version
+        )
+        if to_version < from_version:
+            raise ValueError(
+                f"to_version {to_version} < from_version {from_version}"
+            )
+        if to_version == from_version:
+            return self.spark.createDataFrame(
+                [], self.read_at(to_version).schema
+            )
+        new_files: list[str] = []
+        v = to_version
+        while v > from_version:
+            m = self._manifest(v)
+            if m["operation"] != "append":
+                raise ValueError(
+                    f"incremental read crosses non-append snapshot v{v} "
+                    f"({m['operation']})"
+                )
+            parent_files = (
+                set(self._manifest(m["parent"])["files"])
+                if m["parent"] > 0
+                else set()
+            )
+            new_files = [f for f in m["files"] if f not in parent_files] + new_files
+            v = m["parent"]
+        if v != from_version:
+            raise ValueError(
+                f"v{from_version} is not an ancestor of v{to_version}"
+            )
+        return self.spark.read.parquet(*new_files)

@@ -83,3 +83,32 @@ def test_streaming_filter_available_now(spark, tmp_path):
     # event-time monitoring aggregate runs on the batch frame
     rates = drop_reason_rates(batch, window="1 hour").collect()
     assert sum(r["docs"] for r in rates) == 60
+
+
+def test_snapshot_incremental_read(spark, tmp_path):
+    from kenlm_rs_spark.sources.table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    v1 = t.append(spark.createDataFrame([(1,), (2,)], "id long"))
+    v2 = t.append(spark.createDataFrame([(3,)], "id long"))
+    v3 = t.append(spark.createDataFrame([(4,), (5,)], "id long"))
+    # only the files added after v1
+    got = sorted(r["id"] for r in t.read_changes(v1).collect())
+    assert got == [3, 4, 5]
+    assert sorted(r["id"] for r in t.read_changes(v2, v3).collect()) == [4, 5]
+    assert t.read_changes(v3).count() == 0
+    # full-history incremental == current read
+    assert sorted(r["id"] for r in t.read_changes(0).collect()) == [1, 2, 3, 4, 5]
+
+
+def test_snapshot_incremental_rejects_overwrite(spark, tmp_path):
+    import pytest as _pytest
+
+    from kenlm_rs_spark.sources.table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl2"))
+    v1 = t.append(spark.createDataFrame([(1,)], "id long"))
+    t.overwrite(spark.createDataFrame([(9,)], "id long"))
+    t.append(spark.createDataFrame([(10,)], "id long"))
+    with _pytest.raises(ValueError, match="non-append"):
+        t.read_changes(v1)
