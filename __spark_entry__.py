@@ -41,6 +41,10 @@ from kenlm_rs_spark.ops.hll import _alpha as _hll_alpha  # noqa: E402
 
 _HLL_C = _hll_alpha(256) * 256.0 * 256.0 * float(1 << 41)
 
+from kenlm_rs_spark.ops.normalize import dedup_key_sql_expr as _dk_sql  # noqa: E402
+
+_DEDUP_KEY_SQL = _dk_sql("text")
+
 
 def _spread_input(df: DataFrame) -> DataFrame:
     """The sandbox tables are single-file/single-row-group parquet, so the
@@ -1130,6 +1134,35 @@ def q_dedup_spans_removed(spark, sf_dir):
     return remove_duplicated_spans(_docs(spark, sf_dir), n=5)
 
 
+def q_dedup_normalize(spark, sf_dir):
+    """Normalized-key dedup (ops/normalize.py::dedup_key — the FineWeb
+    minhash normalization): every doc gets an accent/case/punctuation
+    variant twin (doc_id + 10^6); lowercase→NFD-strip→punct-strip→collapse
+    makes each pair collide, first-id wins. The oracle runs DuckDB's
+    native lower/strip_accents/\\p{{L}} chain — independent implementations
+    of the same normalization must agree byte-for-byte."""
+    from kenlm_rs_spark.ops.normalize import dedup_key
+
+    docs = _docs(spark, sf_dir)
+    variant = F.concat(
+        F.lit("  "),
+        F.upper(F.replace(F.col("text"), F.lit("e"), F.lit("é"))),
+        F.lit("!!"),
+    )
+    both = docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), variant.alias("text")
+        )
+    )
+    keyed = both.select("doc_id", dedup_key(F.col("text")).alias("key"))
+    first = keyed.groupBy("key").agg(F.min("doc_id").alias("first_id"))
+    return keyed.join(first, "key").select(
+        "doc_id",
+        "key",
+        (F.col("doc_id") == F.col("first_id")).alias("is_canonical"),
+    )
+
+
 def q_domain_prior(spark, sf_dir):
     """Per-domain quality prior (ops/domain_prior.py): URLs synthesized so
     several hosts collapse into shared registered domains (including a
@@ -1777,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_wet": q_warc_wet,
         "fix_mojibake": q_fix_mojibake,
         "domain_prior": q_domain_prior,
+        "dedup_normalize": q_dedup_normalize,
     }
 
 
@@ -3612,5 +3646,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s.doc_id, s.domain, p.n_domain_docs, p.domain_score
             FROM s JOIN p USING (domain)
+        """,
+        # normalized-dedup twin: DuckDB-native normalization chain (an
+        # independent implementation, like the nfc_normalize row).
+        "dedup_normalize": f"""
+            WITH unioned AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     '  ' || upper(replace(text, 'e', 'é')) || '!!' AS text
+              FROM documents
+            ), keyed AS (
+              SELECT doc_id, {_DEDUP_KEY_SQL} AS key FROM unioned
+            ), firsts AS (
+              SELECT key, min(doc_id) AS first_id FROM keyed GROUP BY key
+            )
+            SELECT k.doc_id, k.key, k.doc_id = f.first_id AS is_canonical
+            FROM keyed k JOIN firsts f USING (key)
         """,
     }
