@@ -1134,6 +1134,34 @@ def q_dedup_spans_removed(spark, sf_dir):
     return remove_duplicated_spans(_docs(spark, sf_dir), n=5)
 
 
+def q_hist_quantiles(spark, sf_dir):
+    """Histogram-quantile sketch (ops/quantiles.py): per-language
+    median + tertiles of n_chars at bin width 16 — integer bins, integer
+    rank arithmetic (`div`, never float division), lower-bin-edge answers;
+    the oracle runs the identical binning and ranks in SQL. This is the
+    scale path for fitting the CCNet perplexity thresholds."""
+    from kenlm_rs_spark.ops.quantiles import quantiles_of
+
+    docs = _docs(spark, sf_dir)
+    return quantiles_of(
+        docs,
+        "n_chars",
+        probs=[(1, 3), (2, 3), (1, 2)],
+        bin_width=16,
+        group_cols=["lang"],
+    )
+
+
+def q_group_sample(spark, sf_dir):
+    """Deterministic per-group sampling (ops/sampling.py): exactly 20 docs
+    per language by salted-md5 rank — reproducible across engines and
+    re-runs (no rand()); the oracle runs the identical (md5, id) window."""
+    from kenlm_rs_spark.ops.sampling import deterministic_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return deterministic_sample(docs, k=20, group_cols=["lang"], seed="s5")
+
+
 def q_dedup_normalize(spark, sf_dir):
     """Normalized-key dedup (ops/normalize.py::dedup_key — the FineWeb
     minhash normalization): every doc gets an accent/case/punctuation
@@ -1811,6 +1839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_mojibake": q_fix_mojibake,
         "domain_prior": q_domain_prior,
         "dedup_normalize": q_dedup_normalize,
+        "group_sample": q_group_sample,
+        "hist_quantiles": q_hist_quantiles,
     }
 
 
@@ -3663,5 +3693,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT k.doc_id, k.key, k.doc_id = f.first_id AS is_canonical
             FROM keyed k JOIN firsts f USING (key)
+        """,
+        # group-sample twin: the identical salted-md5 window.
+        "group_sample": """
+            SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5('s5:' || doc_id), doc_id
+                     ) AS rnk
+              FROM documents
+            ) WHERE rnk <= 20
+        """,
+        # histogram-quantile twin: identical integer bins and integer
+        # rank arithmetic (// not /), lower bin edge x dyadic width.
+        "hist_quantiles": """
+            WITH b AS (
+              SELECT lang, CAST(floor(n_chars / 16.0) AS BIGINT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY lang, bin
+            ), c AS (
+              SELECT lang, bin,
+                     sum(n) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+                     sum(n) OVER (PARTITION BY lang) AS n_total
+              FROM b
+            ), q(q_num, q_den) AS (VALUES (1, 3), (2, 3), (1, 2))
+            SELECT c.lang,
+                   CAST(q.q_num AS BIGINT) AS q_num,
+                   CAST(q.q_den AS BIGINT) AS q_den,
+                   min(bin) * 16.0 AS quantile
+            FROM c CROSS JOIN q
+            WHERE cum >= (n_total * q.q_num + q.q_den - 1) // q.q_den
+            GROUP BY c.lang, q.q_num, q.q_den
         """,
     }
