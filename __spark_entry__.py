@@ -1162,6 +1162,20 @@ def q_group_sample(spark, sf_dir):
     return deterministic_sample(docs, k=20, group_cols=["lang"], seed="s5")
 
 
+def q_dsir_scores(spark, sf_dir):
+    """DSIR importance scores (ops/dsir.py, Xie et al. 2023): hashed
+    1+2-gram bag models over 512 md5 buckets, target = the English docs,
+    per-doc log-likelihood-ratio score as a DECIMAL(38,9)-exact sum of
+    round-9 bucket weights. The oracle recomputes the identical buckets,
+    smoothed logs, and decimal sum in SQL."""
+    from kenlm_rs_spark.ops.dsir import dsir_scores, dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_weights(docs, target, buckets=512)
+    return dsir_scores(docs, w, buckets=512)
+
+
 def q_dedup_normalize(spark, sf_dir):
     """Normalized-key dedup (ops/normalize.py::dedup_key — the FineWeb
     minhash normalization): every doc gets an accent/case/punctuation
@@ -1841,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalize": q_dedup_normalize,
         "group_sample": q_group_sample,
         "hist_quantiles": q_hist_quantiles,
+        "dsir_scores": q_dsir_scores,
     }
 
 
@@ -3725,5 +3740,49 @@ def oracle_sql() -> dict[str, str]:
             FROM c CROSS JOIN q
             WHERE cum >= (n_total * q.q_num + q.q_den - 1) // q.q_den
             GROUP BY c.lang, q.q_num, q.q_den
+        """,
+        # DSIR twin: identical md5 buckets over the same 1+2-gram stream,
+        # identical add-1 smoothed round-9 logs, DECIMAL(38,9)-exact sums.
+        "dsir_scores": f"""
+            WITH t AS MATERIALIZED (
+              SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+            ), g AS (
+              SELECT doc_id, lang, unnest(toks) AS g FROM t
+              UNION ALL
+              SELECT doc_id, lang, unnest({_GRAMS2}) AS g FROM t
+            ), f AS MATERIALIZED (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5('dsir:' || g), 1, 15))::BIGINT % 512
+                       AS bucket
+              FROM g
+            ), cr AS (
+              SELECT bucket, CAST(count(*) AS BIGINT) AS cr
+              FROM f GROUP BY bucket
+            ), ct AS (
+              SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+              FROM f WHERE lang = 'en' GROUP BY bucket
+            ), tot AS (
+              SELECT (SELECT CAST(count(*) AS DOUBLE) FROM f) AS nr,
+                     (SELECT CAST(count(*) AS DOUBLE) FROM f
+                      WHERE lang = 'en') AS nt
+            ), w AS (
+              SELECT r.i AS bucket,
+                     CAST(round(
+                       ln((coalesce(ct.ct, 0) + 1.0) / (tot.nt + 512.0))
+                       - ln((coalesce(cr.cr, 0) + 1.0) / (tot.nr + 512.0)),
+                       9) AS DECIMAL(38,9)) AS w
+              FROM range(512) r(i)
+              LEFT JOIN cr ON cr.bucket = r.i
+              LEFT JOIN ct ON ct.bucket = r.i
+              CROSS JOIN tot
+            ), sc AS (
+              SELECT f.doc_id, sum(w.w) AS score_dec
+              FROM f JOIN w USING (bucket) GROUP BY f.doc_id
+            )
+            SELECT d.doc_id,
+                   round(CAST(coalesce(sc.score_dec,
+                                       CAST(0 AS DECIMAL(38,9))) AS DOUBLE),
+                         6) AS dsir_score
+            FROM documents d LEFT JOIN sc USING (doc_id)
         """,
     }

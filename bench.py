@@ -122,6 +122,13 @@ BENCH_QUERIES = [
     "hll_distinct",
     "anchor_topk",
     "crawl_diff",
+    # added late r05 (appended so earlier per-query timings stay comparable)
+    "fix_mojibake",
+    "domain_prior",
+    "dedup_normalize",
+    "group_sample",
+    "hist_quantiles",
+    "dsir_scores",
 ]
 
 
