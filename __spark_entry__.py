@@ -1162,6 +1162,26 @@ def q_group_sample(spark, sf_dir):
     return deterministic_sample(docs, k=20, group_cols=["lang"], seed="s5")
 
 
+def q_mixed_language(spark, sf_dir):
+    """Per-paragraph language ID + mixed-document rollup
+    (ops/mixed_lang.py): paragraphs via the shared GATE_SEP split, each
+    classified by the broadcast NumPy langid model, majority vote with
+    integer-rational mixed threshold (7/10). Per-paragraph predictions are
+    frozen by the standalone classifier (tools/freeze_oracle.py) so the
+    gate cross-checks the Spark Arrow path; the rollup is recomputed by
+    the oracle in SQL."""
+    from kenlm_rs_spark.ops.mixed_lang import (
+        GATE_SEP,
+        mixed_language_stats,
+        paragraph_langid,
+    )
+    from kenlm_rs_spark.pipeline.langid import default_langid
+
+    bc = spark.sparkContext.broadcast(default_langid())
+    plang = paragraph_langid(_docs(spark, sf_dir), bc, sep=GATE_SEP)
+    return mixed_language_stats(plang, mixed_num=7, mixed_den=10)
+
+
 def q_dsir_scores(spark, sf_dir):
     """DSIR importance scores (ops/dsir.py, Xie et al. 2023): hashed
     1+2-gram bag models over 512 md5 buckets, target = the English docs,
@@ -1856,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sample": q_group_sample,
         "hist_quantiles": q_hist_quantiles,
         "dsir_scores": q_dsir_scores,
+        "mixed_language": q_mixed_language,
     }
 
 
@@ -3784,5 +3805,25 @@ def oracle_sql() -> dict[str, str]:
                                        CAST(0 AS DECIMAL(38,9))) AS DOUBLE),
                          6) AS dsir_score
             FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
+        # mixed-language twin: per-paragraph predictions from the frozen
+        # standalone classifier; majority vote + integer-rational mixed
+        # threshold recomputed in SQL (top = min(-cnt, lang) struct).
+        "mixed_language": f"""
+            WITH c AS (
+              SELECT doc_id, lang_pred,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM read_parquet('{ORACLE_DIR}/paragraph_langid.parquet')
+              GROUP BY doc_id, lang_pred
+            ), t AS (
+              SELECT doc_id,
+                     min(struct_pack(negc := -cnt, lang := lang_pred)) AS s,
+                     CAST(sum(cnt) AS BIGINT) AS n_paras
+              FROM c GROUP BY doc_id
+            )
+            SELECT doc_id, n_paras, s.lang AS top_lang,
+                   CAST(-s.negc AS BIGINT) AS top_cnt,
+                   (-s.negc * 10 < n_paras * 7) AS is_mixed
+            FROM t
         """,
     }

@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "group_sample",
     "hist_quantiles",
     "dsir_scores",
+    "mixed_language",
 ]
 
 

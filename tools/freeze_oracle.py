@@ -136,6 +136,30 @@ def main():
         {"lang_pred": pa.array([str(x) for x in langs], pa.string())},
     )
 
+    # per-paragraph langid (ops/mixed_lang.py): split exactly like
+    # split_paragraphs — posexplode index over ALL split parts, keep parts
+    # whose space-trim (Spark trim = ASCII space only) is non-empty. The
+    # separator is the gate row's GATE_SEP (the synthetic corpus has no
+    # newlines; same device as the paragraph_dedup gate row).
+    from kenlm_rs_spark.ops.mixed_lang import GATE_SEP
+
+    p_doc, p_idx, p_text = [], [], []
+    for did, text in zip(raw["doc_id"].tolist(), raw["text"].fillna("").tolist()):
+        for i, part in enumerate(text.split(GATE_SEP)):
+            if part.strip(" ") != "":
+                p_doc.append(did)
+                p_idx.append(i)
+                p_text.append(part)
+    p_langs, _ = default_langid().predict_batch(p_text)
+    write(
+        os.path.join(out_dir, "paragraph_langid.parquet"),
+        p_doc,
+        {
+            "para_idx": pa.array(p_idx, pa.int32()),
+            "lang_pred": pa.array([str(x) for x in p_langs], pa.string()),
+        },
+    )
+
 
 if __name__ == "__main__":
     main()
