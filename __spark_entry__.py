@@ -1162,6 +1162,19 @@ def q_group_sample(spark, sf_dir):
     return deterministic_sample(docs, k=20, group_cols=["lang"], seed="s5")
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (ops/semdedup.py, Abbas et al. 2023): coarse-cluster by the
+    deterministic sampled quantizer (stride 37, the ivf_ann structure),
+    drop vectors within round-9 cosine 0.2 of a lower-id cluster-mate.
+    All-double vectors so the oracle's list_dot_product folds bit-equal."""
+    from kenlm_rs_spark.ops.semdedup import semdedup
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return semdedup(emb, threshold=0.2, centroid_stride=37)
+
+
 def q_mixed_language(spark, sf_dir):
     """Per-paragraph language ID + mixed-document rollup
     (ops/mixed_lang.py): paragraphs via the shared GATE_SEP split, each
@@ -1877,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": q_hist_quantiles,
         "dsir_scores": q_dsir_scores,
         "mixed_language": q_mixed_language,
+        "semdedup": q_semdedup,
     }
 
 
@@ -3825,5 +3839,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(-s.negc AS BIGINT) AS top_cnt,
                    (-s.negc * 10 < n_paras * 7) AS is_mixed
             FROM t
+        """,
+        # SemDeDup twin: identical sampled quantizer, round-9 assignment,
+        # and keep-lowest-id greedy within clusters.
+        "semdedup": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+            ), cents AS (
+              SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id % 37 = 0
+            ), assign AS (
+              SELECT vec_id, emb, cid AS cluster FROM (
+                SELECT x.vec_id, x.emb, c.cid,
+                       row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                         round(list_dot_product(x.emb, c.cvec) /
+                           (sqrt(list_dot_product(x.emb, x.emb)) *
+                            sqrt(list_dot_product(c.cvec, c.cvec))), 9) DESC,
+                         c.cid) AS rn
+                FROM e x CROSS JOIN cents c
+              ) WHERE rn = 1
+            ), dup AS (
+              SELECT a.vec_id AS a_id, min(b.vec_id) AS dup_of
+              FROM assign a
+              JOIN assign b
+                ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+              WHERE round(list_dot_product(a.emb, b.emb) /
+                      (sqrt(list_dot_product(a.emb, a.emb)) *
+                       sqrt(list_dot_product(b.emb, b.emb))), 9) >= 0.2
+              GROUP BY a.vec_id
+            )
+            SELECT s.vec_id, s.cluster, d.dup_of,
+                   d.dup_of IS NULL AS is_kept
+            FROM assign s LEFT JOIN dup d ON d.a_id = s.vec_id
         """,
     }

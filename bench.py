@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "hist_quantiles",
     "dsir_scores",
     "mixed_language",
+    "semdedup",
 ]
 
 

@@ -1,0 +1,92 @@
+"""SemDeDup — semantic deduplication in embedding space (Abbas et al.
+2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication").
+
+The published recipe: coarse-cluster the corpus embeddings, then inside
+each cluster drop every point that is within cosine epsilon of another
+kept point — semantic near-duplicates (paraphrases, templated rewrites,
+machine translations of the same page) that no lexical dedup
+(MinHash/SimHash, ops/dedup.py) can see.
+
+This implementation uses the repo's deterministic modulo-sampled coarse
+quantizer (the IVF baseline, ops/similarity.sampled_centroid_array) in
+place of the paper's k-means — same structure, and the DuckDB oracle can
+rebuild it exactly. The keep rule is the deterministic greedy: a vector is
+REMOVED iff some lower-id vector in the same cluster has
+round(cosine, 9) >= threshold; the lowest id of every near-group always
+survives (same convention as exact/MinHash dedup keep_id).
+
+Scale shape (100 TB): cluster assignment is a NARROW projection over a
+broadcast literal centroid array (no shuffle, no Python); the only
+shuffle is the self-join on cluster id. Within-cluster work is
+|cluster|^2 — the paper's own complexity — kept linear overall by sizing
+C ~ sqrt(N) so E|cluster| = N/C ~ sqrt(N) stays bounded per task; a
+pathologically hot cluster (mass-duplicated template) is handled like any
+hot key: salt the verify join or cap candidates per vector, the
+ops/winnow.py frequency-cap pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kenlm_rs_spark.ops.similarity import (
+    best_cluster_col,
+    cosine_similarity_col,
+    sampled_centroid_array,
+)
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float,
+    centroid_stride: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster, dup_of, is_kept) for every input vector:
+    dup_of = the smallest lower id in the same cluster with
+    round(cos, 9) >= threshold (NULL if none), is_kept = dup_of IS NULL.
+
+    Cast the vector column to array<double> upstream for engine-exact
+    cosines (the q_ivf_ann discipline)."""
+    cent_arr = sampled_centroid_array(df, centroid_stride, id_col, vec_col)
+    corpus = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn("cluster", best_cluster_col(cent_arr, F.col("vec")))
+
+    a = corpus.select(
+        F.col("vid").alias("a_id"),
+        F.col("vec").alias("a_vec"),
+        F.col("cluster").alias("a_cluster"),
+    )
+    b = corpus.select(
+        F.col("vid").alias("b_id"),
+        F.col("vec").alias("b_vec"),
+        F.col("cluster").alias("b_cluster"),
+    )
+    dup = (
+        a.join(
+            b,
+            (F.col("a_cluster") == F.col("b_cluster"))
+            & (F.col("b_id") < F.col("a_id")),
+        )
+        .filter(
+            F.round(
+                cosine_similarity_col(F.col("a_vec"), F.col("b_vec")), 9
+            )
+            >= F.lit(float(threshold))
+        )
+        .groupBy("a_id")
+        .agg(F.min("b_id").alias("dup_of"))
+    )
+    return (
+        corpus.join(dup, corpus["vid"] == dup["a_id"], "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cluster",
+            "dup_of",
+            F.col("dup_of").isNull().alias("is_kept"),
+        )
+    )

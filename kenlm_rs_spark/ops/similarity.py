@@ -212,6 +212,55 @@ def embedding_near_dup_pairs(
     return out
 
 
+def sampled_centroid_array(
+    df: DataFrame,
+    centroid_stride: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Literal array<struct<cid,cvec>> of the deterministic modulo-sampled
+    coarse quantizer (id % stride == 0). float32 parquet values are exactly
+    representable as double literals, so both engines see identical
+    centroid coordinates. MODEL-sized collect (C ~ sqrt(N) by stride
+    choice); shared by ivf_ann_topk and ops/semdedup.py."""
+    cents = sorted(
+        (r[0], list(r[1]))
+        for r in df.filter((F.col(id_col) % centroid_stride) == 0)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if not cents:
+        raise ValueError("centroid_stride sampled zero centroids")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+            )
+            for cid, vec in cents
+        ]
+    )
+
+
+def best_cluster_col(cent_arr, vec):
+    """argmax cosine over the literal centroid array, tie -> smallest cid.
+
+    ONE transform over the literal array (each element's cosine evaluated
+    exactly once — building a separate cosine-array column would be
+    re-inlined per lambda element by Catalyst, the O(C^2) pathology
+    documented in CLAUDE.md); round(cos, 9) so a last-ulp libm difference
+    cannot flip an assignment between engines."""
+    return -F.array_max(
+        F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                F.round(cosine_similarity_col(vec, c["cvec"]), 9).alias("cos"),
+                (-c["cid"]).alias("ncid"),
+            ),
+        )
+    )["ncid"]
+
+
 def ivf_ann_topk(
     df: DataFrame,
     query_df: DataFrame,
@@ -247,46 +296,11 @@ def ivf_ann_topk(
     interpreted HOF land; at C beyond a few hundred, swap the fold for an
     Arrow pandas UDF doing one (batch x d) @ (d x C) matmul (the measured
     HOF-vs-Arrow tradeoff in CLAUDE.md)."""
-    cents = sorted(
-        (r[0], list(r[1]))
-        for r in df.filter((F.col(id_col) % centroid_stride) == 0)
-        .select(id_col, vec_col)
-        .collect()
-    )
-    if not cents:
-        raise ValueError("centroid_stride sampled zero centroids")
-    # literal array<struct<cid,cvec>>: float32 parquet values are exactly
-    # representable as double literals, so both engines see identical
-    # centroid coordinates
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).cast("long").alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
-            )
-            for cid, vec in cents
-        ]
-    )
-    # argmax cosine, tie -> smallest cid: ONE transform over the literal
-    # array (each element's cosine evaluated exactly once — building a
-    # separate cosine-array column would be re-inlined per lambda element
-    # by Catalyst, the O(C^2) pathology documented in CLAUDE.md)
-    def _best_cluster(vec):
-        return -F.array_max(
-            F.transform(
-                cent_arr,
-                lambda c: F.struct(
-                    F.round(
-                        cosine_similarity_col(vec, c["cvec"]), 9
-                    ).alias("cos"),
-                    (-c["cid"]).alias("ncid"),
-                ),
-            )
-        )["ncid"]
+    cent_arr = sampled_centroid_array(df, centroid_stride, id_col, vec_col)
 
     corpus = df.select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec")
-    ).withColumn("cluster", _best_cluster(F.col("cvec")))
+    ).withColumn("cluster", best_cluster_col(cent_arr, F.col("cvec")))
 
     # probe lists for the (tiny) query side via the centroid DataFrame —
     # broadcast cross join, |queries| x n_centroids rows
