@@ -1162,6 +1162,17 @@ def q_group_sample(spark, sf_dir):
     return deterministic_sample(docs, k=20, group_cols=["lang"], seed="s5")
 
 
+def q_training_order(spark, sf_dir):
+    """Deterministic training-order shuffle (ops/shuffle.py): 8 shards,
+    shard from the md5 tail, position from the full-key within-shard rank
+    — the no-global-sort reproducible shuffle. Oracle runs the identical
+    (substring, conv, row_number) arithmetic."""
+    from kenlm_rs_spark.ops.shuffle import training_order
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return training_order(docs, n_shards=8, seed="epoch0")
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (ops/semdedup.py, Abbas et al. 2023): coarse-cluster by the
     deterministic sampled quantizer (stride 37, the ivf_ann structure),
@@ -1891,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_scores": q_dsir_scores,
         "mixed_language": q_mixed_language,
         "semdedup": q_semdedup,
+        "training_order": q_training_order,
     }
 
 
@@ -3870,5 +3882,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.vec_id, s.cluster, d.dup_of,
                    d.dup_of IS NULL AS is_kept
             FROM assign s LEFT JOIN dup d ON d.a_id = s.vec_id
+        """,
+        # training-order twin: identical md5 tail-bits shard + full-key rank.
+        "training_order": """
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)),
+                                        25, 8))::BIGINT % 8 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY ('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)),
+                                                  25, 8))::BIGINT % 8
+                     ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS BIGINT) AS pos
+            FROM documents
         """,
     }

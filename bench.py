@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "dsir_scores",
     "mixed_language",
     "semdedup",
+    "training_order",
 ]
 
 
