@@ -1162,6 +1162,32 @@ def q_group_sample(spark, sf_dir):
     return deterministic_sample(docs, k=20, group_cols=["lang"], seed="s5")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental cross-snapshot dedup (ops/incremental_dedup.py): old
+    corpus = doc_id < 250, new snapshot = the rest, key = 3-token prefix
+    (real overlap in the fixture corpus). Bloom prefilter (64 Kbit, k=5)
+    + exact verify join; the oracle rebuilds the identical bit set and
+    membership, so both the maybe flag AND the repaired is_new must
+    hash-match."""
+    from kenlm_rs_spark.ops.incremental_dedup import incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    keyed = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(ts.tokens_col(F.col("text")), 1, 3)).alias(
+            "key"
+        ),
+    )
+    return incremental_dedup(
+        keyed.filter(F.col("doc_id") >= 250),
+        keyed.filter(F.col("doc_id") < 250),
+        key_col="key",
+        m_bits=1 << 16,
+        k=5,
+        seed="incr",
+    )
+
+
 def q_training_order(spark, sf_dir):
     """Deterministic training-order shuffle (ops/shuffle.py): 8 shards,
     shard from the md5 tail, position from the full-key within-shard rank
@@ -1903,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixed_language": q_mixed_language,
         "semdedup": q_semdedup,
         "training_order": q_training_order,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -3894,5 +3921,37 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id
                    ) AS BIGINT) AS pos
             FROM documents
+        """,
+        # incremental-dedup twin: identical salted-md5 bit set over the old
+        # keys, identical probe, is_new repaired by exact membership.
+        "incremental_dedup": f"""
+            WITH t AS MATERIALIZED (
+              SELECT doc_id,
+                     array_to_string(({_TOKS})[1:3], ' ') AS key
+              FROM documents
+            ), ks AS (SELECT unnest([0, 1, 2, 3, 4]) AS i),
+            seen AS (
+              SELECT DISTINCT key FROM t WHERE doc_id < 250
+            ), pos AS (
+              SELECT DISTINCT
+                ('0x' || substr(md5('incr:' || i || ':' || key), 1, 12))::BIGINT
+                  % 65536 AS p
+              FROM seen CROSS JOIN ks
+            ), new AS (
+              SELECT doc_id, key FROM t WHERE doc_id >= 250
+            ), probe AS (
+              SELECT n.doc_id, n.key,
+                ('0x' || substr(md5('incr:' || k.i || ':' || n.key), 1, 12))::BIGINT
+                  % 65536 AS p
+              FROM new n CROSS JOIN ks k
+            ), agg AS (
+              SELECT pr.doc_id, pr.key,
+                     bool_and(pos.p IS NOT NULL) AS bloom_maybe
+              FROM probe pr LEFT JOIN pos ON pos.p = pr.p
+              GROUP BY pr.doc_id, pr.key
+            )
+            SELECT a.doc_id, a.key, a.bloom_maybe,
+                   s.key IS NULL AS is_new
+            FROM agg a LEFT JOIN seen s ON s.key = a.key
         """,
     }

@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "mixed_language",
     "semdedup",
     "training_order",
+    "incremental_dedup",
 ]
 
 

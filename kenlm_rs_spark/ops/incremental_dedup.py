@@ -1,0 +1,66 @@
+"""Incremental cross-snapshot dedup: flag which documents of a NEW crawl
+are already present in an EXISTING corpus, without joining the new
+snapshot against the full old corpus.
+
+The cadence problem: every monthly crawl must be deduped against
+everything already kept (10^12 keys). A direct anti-join shuffles the new
+snapshot AND the old key set every month. The standard composition
+(the ops/bloom.py design note) is:
+
+1. build a Bloom filter over the OLD keys once per cadence — bits fit in
+   executor memory (10 bits/key), the build is one pass over the old keys;
+2. probe every NEW document with the filter — a NARROW projection, no
+   shuffle, no Python on the expression path;
+3. bloom-NEGATIVE rows are guaranteed new (no false negatives) and never
+   touch a join;
+4. only the bloom-POSITIVE sliver (true dups + the % of false positives)
+   goes through the exact semi-join against the old keys.
+
+So the monthly cost is (old-key pass) + (narrow probe) + (join over a few
+percent of the new snapshot) instead of a full bilateral shuffle.
+
+Engine-exactness: positions use bloom.py's salted-md5 idiom; the verify
+join is plain key equality — the DuckDB twin rebuilds the identical bit
+set and membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kenlm_rs_spark.ops.bloom import bloom_build, bloom_might_contain
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    key_col: str = "key",
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    seed: str = "incr",
+) -> DataFrame:
+    """new_df columns + (bloom_maybe, is_new). seen_df needs only
+    ``key_col``. Uses the literal-bitmap expression probe (right for test
+    scale); at 10^9+ old keys swap in bloom_might_contain_udf — the
+    composition is unchanged.
+
+    Law (tested): is_new is EXACT — bloom false positives are repaired by
+    the verify join; bloom_maybe=False implies is_new=True."""
+    seen_keys = seen_df.select(F.col(key_col)).where(
+        F.col(key_col).isNotNull()
+    ).distinct()
+    positions = [
+        r["pos"] for r in bloom_build(seen_keys, key_col, m_bits, k, seed).collect()
+    ]
+    probed = bloom_might_contain(
+        new_df, positions, key_col, m_bits, k, seed, out_col="bloom_maybe"
+    )
+    negatives = probed.filter(~F.col("bloom_maybe")).withColumn(
+        "is_new", F.lit(True)
+    )
+    maybe = probed.filter(F.col("bloom_maybe"))
+    verified = maybe.join(
+        seen_keys.withColumn("_seen", F.lit(True)), key_col, "left"
+    ).select(*probed.columns, F.col("_seen").isNull().alias("is_new"))
+    return negatives.unionByName(verified)
