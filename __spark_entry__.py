@@ -1162,6 +1162,16 @@ def q_group_sample(spark, sf_dir):
     return deterministic_sample(docs, k=20, group_cols=["lang"], seed="s5")
 
 
+def q_char_entropy(spark, sf_dir):
+    """Character-distribution entropy (ops/entropy.py): one narrow Arrow
+    stage, per-codepoint rational probabilities, round-9 terms summed
+    (the oracle sums the identical terms as DECIMAL(38,9)), round-6 bits
+    per codepoint."""
+    from kenlm_rs_spark.ops.entropy import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir))
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental cross-snapshot dedup (ops/incremental_dedup.py): old
     corpus = doc_id < 250, new snapshot = the rest, key = 3-token prefix
@@ -1930,6 +1940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "training_order": q_training_order,
         "incremental_dedup": q_incremental_dedup,
+        "char_entropy": q_char_entropy,
     }
 
 
@@ -3953,5 +3964,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id, a.key, a.bloom_maybe,
                    s.key IS NULL AS is_new
             FROM agg a LEFT JOIN seen s ON s.key = a.key
+        """,
+        # char-entropy twin: identical rational probabilities, round-9
+        # terms summed as DECIMAL (order-independent), round-6 result.
+        # The codepoint list is materialized in a CTE (the DuckDB
+        # list-comprehension-inlining pathology, CLAUDE.md).
+        "char_entropy": """
+            WITH t AS MATERIALIZED (
+              SELECT doc_id, text FROM documents
+            ), ch AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest([substring(text, i + 1, 1)
+                             for i in range(length(text))]) AS c
+              FROM t
+            ), cnt AS (
+              SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+              FROM ch GROUP BY doc_id, c
+            ), n AS (
+              SELECT doc_id, CAST(sum(k) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS d
+              FROM cnt GROUP BY doc_id
+            ), terms AS (
+              SELECT cnt.doc_id,
+                     CAST(round(
+                       (cnt.k / CAST(n.n AS DOUBLE))
+                       * log2(cnt.k / CAST(n.n AS DOUBLE)), 9)
+                       AS DECIMAL(38,9)) AS term
+              FROM cnt JOIN n USING (doc_id)
+            ), e AS (
+              SELECT doc_id, round(CAST(-sum(term) AS DOUBLE), 6) AS ent
+              FROM terms GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n.n, 0) AS n_cp,
+                   coalesce(n.d, 0) AS n_distinct_cp,
+                   coalesce(e.ent, 0.0) AS char_entropy
+            FROM documents d
+            LEFT JOIN n USING (doc_id) LEFT JOIN e USING (doc_id)
         """,
     }

@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "semdedup",
     "training_order",
     "incremental_dedup",
+    "char_entropy",
 ]
 
 
