@@ -1162,6 +1162,16 @@ def q_group_sample(spark, sf_dir):
     return deterministic_sample(docs, k=20, group_cols=["lang"], seed="s5")
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking (ops/chunking.py): 40-token windows with
+    8-token overlap — integer chunk grid, tokenize-once + index explode +
+    per-row slice. Oracle runs the identical arithmetic with DuckDB list
+    slicing."""
+    from kenlm_rs_spark.ops.chunking import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), max_tokens=40, overlap=8)
+
+
 def q_char_entropy(spark, sf_dir):
     """Character-distribution entropy (ops/entropy.py): one narrow Arrow
     stage, per-codepoint rational probabilities, round-9 terms summed
@@ -1941,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order": q_training_order,
         "incremental_dedup": q_incremental_dedup,
         "char_entropy": q_char_entropy,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -4001,5 +4012,29 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(e.ent, 0.0) AS char_entropy
             FROM documents d
             LEFT JOIN n USING (doc_id) LEFT JOIN e USING (doc_id)
+        """,
+        # chunking twin: identical integer chunk grid (step=32, max=40),
+        # DuckDB 1-based inclusive list slicing.
+        "chunk_documents": f"""
+            WITH t AS MATERIALIZED (
+              SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n
+              FROM documents
+            ), g AS (
+              SELECT doc_id, toks, n,
+                     CASE WHEN n <= 40 THEN 1
+                          ELSE 1 + (n - 40 + 31) // 32 END AS n_chunks
+              FROM t WHERE n > 0
+            ), k AS (
+              SELECT doc_id, toks, n, CAST(n_chunks AS BIGINT) AS n_chunks,
+                     unnest(range(n_chunks)) AS chunk_idx
+              FROM g
+            )
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, n_chunks,
+                   CAST(least(chunk_idx * 32 + 40, n) - chunk_idx * 32
+                        AS BIGINT) AS n_tokens_chunk,
+                   array_to_string(
+                     toks[chunk_idx * 32 + 1 : least(chunk_idx * 32 + 40, n)],
+                     ' ') AS chunk_text
+            FROM k
         """,
     }

@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "training_order",
     "incremental_dedup",
     "char_entropy",
+    "chunk_documents",
 ]
 
 
