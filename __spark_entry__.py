@@ -1182,6 +1182,25 @@ def q_char_entropy(spark, sf_dir):
     return char_entropy(_docs(spark, sf_dir))
 
 
+def q_psi_drift(spark, sf_dir):
+    """Snapshot-drift PSI (ops/drift.py): per-language Population
+    Stability Index of the n_chars distribution between two snapshot
+    halves (old = even doc_id, new = odd), bin width 64. One uniform-key
+    corpus groupBy; smoothing/log/sum arithmetic runs on the tiny bin
+    table via a SHARED SQL expression (psi_term_sql_expr) both engines
+    execute verbatim — round-9 terms, DECIMAL(38,9) sum, round-6 PSI."""
+    from kenlm_rs_spark.ops.drift import psi_drift
+
+    docs = _docs(spark, sf_dir)
+    return psi_drift(
+        docs,
+        "n_chars",
+        is_new=(F.col("doc_id") % 2 == 1),
+        bin_width=64,
+        group_cols=["lang"],
+    )
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental cross-snapshot dedup (ops/incremental_dedup.py): old
     corpus = doc_id < 250, new snapshot = the rest, key = 3-token prefix
@@ -1952,10 +1971,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "char_entropy": q_char_entropy,
         "chunk_documents": q_chunk_documents,
+        "psi_drift": q_psi_drift,
     }
 
 
 # ------------------------------------------------------------------ oracles
+
+# Shared-source PSI per-bin term (ops/drift.py) — the oracle executes the
+# character-identical expression the Spark plan compiles.
+from kenlm_rs_spark.ops.drift import psi_term_sql_expr as _psi_term_sql_expr
+
+_PSI_TERM = _psi_term_sql_expr()
 
 # SQL twin of _synth_edges: the deterministic link graph over documents.
 _EDGES_SQL = """
@@ -4036,5 +4062,32 @@ def oracle_sql() -> dict[str, str]:
                      toks[chunk_idx * 32 + 1 : least(chunk_idx * 32 + 40, n)],
                      ' ') AS chunk_text
             FROM k
+        """,
+        # PSI drift twin: identical integer binning, identical shared
+        # per-bin term expression (psi_term_sql_expr — rendered from the
+        # same Python source the Spark plan compiles), DECIMAL(38,9)
+        # order-independent sum, round-6.
+        "psi_drift": f"""
+            WITH cnt AS (
+              SELECT lang, n_chars // 64 AS bin,
+                     CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS k_old,
+                     CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS k_new
+              FROM documents GROUP BY lang, bin
+            ), tot AS (
+              SELECT lang, CAST(sum(k_old) AS BIGINT) AS n_old,
+                     CAST(sum(k_new) AS BIGINT) AS n_new,
+                     CAST(count(*) AS BIGINT) AS n_bins
+              FROM cnt GROUP BY lang
+            ), terms AS (
+              SELECT cnt.lang, {_PSI_TERM} AS term
+              FROM cnt JOIN tot USING (lang)
+            ), s AS (
+              SELECT lang, round(CAST(sum(term) AS DOUBLE), 6) AS psi
+              FROM terms GROUP BY lang
+            )
+            SELECT tot.lang, tot.n_old, tot.n_new, tot.n_bins, s.psi
+            FROM tot JOIN s USING (lang)
         """,
     }

@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "char_entropy",
     "chunk_documents",
+    "psi_drift",
 ]
 
 
