@@ -1182,6 +1182,63 @@ def q_char_entropy(spark, sf_dir):
     return char_entropy(_docs(spark, sf_dir))
 
 
+def q_cdx_select(spark, sf_dir):
+    """CDX index → fetch plan (sources/cdx.py): CDXJ lines are
+    synthesized as real strings from doc_id arithmetic, parsed back by
+    the REAL parser (regexp + from_json), filtered on index predicates
+    (status 200, text/html), and coalesced into per-file byte spans at
+    gap 3200. The oracle reconstructs every field arithmetically (never
+    parsing) and runs the identical integer window/span logic, so a
+    parser or span defect on any field goes hash-red. Per-filename
+    digest/url aggregates over the parsed table ride along to pin the
+    fields the span math doesn't touch."""
+    from kenlm_rs_spark.sources.cdx import coalesce_fetch_ranges, parse_cdx
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    s = F.col("doc_id").cast("string")
+    mime = F.when(
+        F.col("doc_id") % 7 == 0, F.lit("application/pdf")
+    ).otherwise(F.lit("text/html"))
+    status = F.when(F.col("doc_id") % 5 == 0, F.lit("404")).otherwise(
+        F.lit("200")
+    )
+    filename = F.concat(
+        F.lit("crawl-"), (F.col("doc_id") % 4).cast("string"),
+        F.lit(".warc.gz"),
+    )
+    offset = (F.col("doc_id") * 1000 + (F.col("doc_id") % 13) * 7).cast(
+        "string"
+    )
+    length = (F.lit(400) + (F.col("doc_id") % 11) * 50).cast("string")
+    digest = F.concat(
+        F.lit("sha1:"), F.upper(F.substring(F.md5(s), 1, 16))
+    )
+    url = F.concat(F.lit("https://example.com/p"), s)
+    line = F.concat(
+        F.lit("com,example)/p"), s, F.lit(" "),
+        (F.lit(20260101000000) + F.col("doc_id")).cast("string"),
+        F.lit(' {"url": "'), url,
+        F.lit('", "mime": "'), mime,
+        F.lit('", "status": "'), status,
+        F.lit('", "digest": "'), digest,
+        F.lit('", "length": "'), length,
+        F.lit('", "offset": "'), offset,
+        F.lit('", "filename": "'), filename, F.lit('"}'),
+    )
+    parsed = parse_cdx(d.select(line.alias("line")))
+    selected = parsed.filter(
+        (F.col("status") == 200) & (F.col("mime") == "text/html")
+    )
+    spans = coalesce_fetch_ranges(selected, gap=3200)
+    per_file = selected.groupBy("filename").agg(
+        F.count("*").cast("long").alias("file_selected"),
+        F.countDistinct("digest").cast("long").alias("file_digests"),
+        F.min("url").alias("file_min_url"),
+        F.min("timestamp").alias("file_min_ts"),
+    )
+    return spans.join(F.broadcast(per_file), "filename")
+
+
 def q_psi_drift(spark, sf_dir):
     """Snapshot-drift PSI (ops/drift.py): per-language Population
     Stability Index of the n_chars distribution between two snapshot
@@ -1972,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "chunk_documents": q_chunk_documents,
         "psi_drift": q_psi_drift,
+        "cdx_select": q_cdx_select,
     }
 
 
@@ -4089,5 +4147,65 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT tot.lang, tot.n_old, tot.n_new, tot.n_bins, s.psi
             FROM tot JOIN s USING (lang)
+        """,
+        # CDX twin: every index field reconstructed ARITHMETICALLY (the
+        # oracle never parses a line), then the identical integer
+        # window/span coalescing at gap 3200.
+        "cdx_select": """
+            WITH fields AS (
+              SELECT doc_id,
+                     'crawl-' || CAST(doc_id % 4 AS VARCHAR) || '.warc.gz'
+                       AS filename,
+                     doc_id * 1000 + (doc_id % 13) * 7 AS "offset",
+                     400 + (doc_id % 11) * 50 AS length,
+                     CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END
+                       AS status,
+                     CASE WHEN doc_id % 7 = 0 THEN 'application/pdf'
+                          ELSE 'text/html' END AS mime,
+                     'sha1:' || upper(substring(
+                       md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS digest,
+                     'https://example.com/p' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                     CAST(20260101000000 + doc_id AS VARCHAR) AS ts
+              FROM documents
+            ), sel AS (
+              SELECT * FROM fields
+              WHERE status = 200 AND mime = 'text/html'
+            ), flagged AS (
+              SELECT filename, "offset", length,
+                     CASE WHEN lag("offset" + length) OVER
+                            (PARTITION BY filename ORDER BY "offset")
+                            IS NULL
+                          OR "offset" > lag("offset" + length) OVER
+                            (PARTITION BY filename ORDER BY "offset")
+                            + 3200
+                          THEN 1 ELSE 0 END AS is_new
+              FROM sel
+            ), numbered AS (
+              SELECT filename, "offset", length,
+                     CAST(sum(is_new) OVER
+                       (PARTITION BY filename ORDER BY "offset"
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS span_id
+              FROM flagged
+            ), spans AS (
+              SELECT filename, span_id,
+                     CAST(min("offset") AS BIGINT) AS span_start,
+                     CAST(max("offset" + length) AS BIGINT) AS span_end,
+                     CAST(count(*) AS BIGINT) AS n_records
+              FROM numbered GROUP BY filename, span_id
+            ), per_file AS (
+              SELECT filename,
+                     CAST(count(*) AS BIGINT) AS file_selected,
+                     CAST(count(DISTINCT digest) AS BIGINT) AS file_digests,
+                     min(url) AS file_min_url,
+                     min(ts) AS file_min_ts
+              FROM sel GROUP BY filename
+            )
+            SELECT s.filename, s.span_id, s.span_start, s.span_end,
+                   s.span_end - s.span_start AS span_bytes,
+                   s.n_records, f.file_selected, f.file_digests,
+                   f.file_min_url, f.file_min_ts
+            FROM spans s JOIN per_file f USING (filename)
         """,
     }

@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "char_entropy",
     "chunk_documents",
     "psi_drift",
+    "cdx_select",
 ]
 
 
