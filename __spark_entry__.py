@@ -1182,6 +1182,35 @@ def q_char_entropy(spark, sf_dir):
     return char_entropy(_docs(spark, sf_dir))
 
 
+def q_domain_split(spark, sf_dir):
+    """Leakage-safe train/holdout split (ops/splits.py): assignment by
+    PSL-aware registered domain — md5(salt:domain) integer permille
+    bucket, holdout iff bucket < 100 — so every page of a site (and its
+    intra-site near-duplicate mass) lands on one side. URLs reuse the
+    PSL gate synthesis (multi-label suffixes exercise the domain
+    grouping); the oracle renders the identical shared SQL exprs."""
+    from kenlm_rs_spark.ops.splits import domain_holdout_split
+
+    docs = _docs(spark, sf_dir)
+    n = len(_PSL_GATE_SUFFIXES)
+    sfx = F.element_at(
+        F.array(*[F.lit(s) for s in _PSL_GATE_SUFFIXES]),
+        (F.col("doc_id") % n + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://Site"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit("."),
+        sfx,
+        F.lit(":443/p?id="),
+        F.col("doc_id").cast("string"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return domain_holdout_split(
+        u, holdout_permille=100, salt="eval", psl=True
+    )
+
+
 def q_cdx_select(spark, sf_dir):
     """CDX index → fetch plan (sources/cdx.py): CDXJ lines are
     synthesized as real strings from doc_id arithmetic, parsed back by
@@ -2030,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "psi_drift": q_psi_drift,
         "cdx_select": q_cdx_select,
+        "domain_split": q_domain_split,
     }
 
 
@@ -2040,6 +2070,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 from kenlm_rs_spark.ops.drift import psi_term_sql_expr as _psi_term_sql_expr
 
 _PSI_TERM = _psi_term_sql_expr()
+
+
+def _domain_split_oracle_sql() -> str:
+    """Twin of q_domain_split: PSL gate URL synthesis + the shared
+    (domain, bucket, split) renderings from ops/splits.py."""
+    from kenlm_rs_spark.ops.splits import domain_split_sql_exprs
+
+    domain, bucket, split = domain_split_sql_exprs(
+        "url", salt="eval", holdout_permille=100, psl=True
+    )
+    _psl_suffix_list_sql = "['" + "','".join(_PSL_GATE_SUFFIXES) + "']"
+    return f"""
+            WITH u AS (
+              SELECT doc_id,
+                'https://Site' || CAST(doc_id % 37 AS VARCHAR) || '.' ||
+                ({_psl_suffix_list_sql})[CAST(doc_id % {len(_PSL_GATE_SUFFIXES)} AS INTEGER) + 1] ||
+                ':443/p?id=' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents
+            )
+            SELECT doc_id, url,
+                   {domain} AS domain,
+                   {bucket} AS bucket,
+                   {split} AS split
+            FROM u
+        """
 
 # SQL twin of _synth_edges: the deterministic link graph over documents.
 _EDGES_SQL = """
@@ -4208,4 +4263,7 @@ def oracle_sql() -> dict[str, str]:
                    f.file_min_url, f.file_min_ts
             FROM spans s JOIN per_file f USING (filename)
         """,
+        # domain-split twin: identical URL synthesis, then the SHARED
+        # (domain, bucket, split) SQL renderings from ops/splits.py.
+        "domain_split": _domain_split_oracle_sql(),
     }

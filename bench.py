@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "chunk_documents",
     "psi_drift",
     "cdx_select",
+    "domain_split",
 ]
 
 
