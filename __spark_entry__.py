@@ -1182,6 +1182,35 @@ def q_char_entropy(spark, sf_dir):
     return char_entropy(_docs(spark, sf_dir))
 
 
+def q_classifier_calibration(spark, sf_dir):
+    """Classifier calibration report (ops/calibration.py): the distilled
+    classifier's round-6 score binned (shared least/greatest/floor SQL
+    expression) against the C4 page decision as the teacher label —
+    per-bin counts, keep_rate, mean_score (DECIMAL(38,6)-exact sum, ONE
+    IEEE division each, round-6). Teacher label = the Gopher A1.1
+    word-count rule (n_words >= 50 — the one rule with real variation on
+    this corpus: the synthetic docs carry no sentence punctuation, so the
+    C4 page decision is constant-false and would leave the keep branch
+    untested). The drift monitor for the frozen classifier weights."""
+    from kenlm_rs_spark.ops.calibration import calibration_report
+    from kenlm_rs_spark.pipeline.classifier import classifier_score_col
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    scored = docs.select(
+        "doc_id",
+        F.round(classifier_score_col(F.col("text")), 6).alias("score"),
+        (F.size(ts.tokens_col(F.col("text"))) >= 50).alias("label"),
+    )
+    return calibration_report(
+        scored,
+        score_col="score",
+        label_col="label",
+        lo=-10.0,
+        width=2.0,
+        n_bins=10,
+    )
+
+
 def q_domain_split(spark, sf_dir):
     """Leakage-safe train/holdout split (ops/splits.py): assignment by
     PSL-aware registered domain — md5(salt:domain) integer permille
@@ -2060,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "cdx_select": q_cdx_select,
         "domain_split": q_domain_split,
+        "classifier_calibration": q_classifier_calibration,
     }
 
 
@@ -2070,6 +2100,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 from kenlm_rs_spark.ops.drift import psi_term_sql_expr as _psi_term_sql_expr
 
 _PSI_TERM = _psi_term_sql_expr()
+
+
+def _classifier_calibration_oracle_sql() -> str:
+    """Twin of q_classifier_calibration: the classifier-score SQL, the
+    Gopher word-count rule as the teacher label, and the SHARED bin
+    expression (calibration_bin_sql_expr) from ops/calibration.py."""
+    from kenlm_rs_spark.ops.calibration import calibration_bin_sql_expr
+    from kenlm_rs_spark.pipeline.classifier import (
+        _TOKS_SQL,
+        classifier_score_sql_expr,
+    )
+
+    z = classifier_score_sql_expr("text")
+    bin_expr = calibration_bin_sql_expr("score", -10.0, 2.0, 10)
+    return f"""
+            WITH t AS MATERIALIZED (
+              SELECT doc_id, text,
+                     {_TOKS_SQL.format(col='text')} AS tk
+              FROM documents
+            ), lab AS MATERIALIZED (
+              SELECT doc_id, round({z}, 6) AS score,
+                     (len(tk) >= 50) AS label
+              FROM t
+            ), b AS (
+              SELECT {bin_expr} AS bin, score,
+                     CAST(label AS INTEGER) AS l
+              FROM lab
+            ), g AS (
+              SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(l) AS BIGINT) AS n_keep,
+                     sum(CAST(score AS DECIMAL(38,6))) AS ssum
+              FROM b GROUP BY bin
+            )
+            SELECT bin, -10.0 + bin * 2.0 AS bin_lo, n, n_keep,
+                   round(CAST(n_keep AS DOUBLE) / n, 6) AS keep_rate,
+                   round(CAST(ssum AS DOUBLE) / n, 6) AS mean_score
+            FROM g
+        """
 
 
 def _domain_split_oracle_sql() -> str:
@@ -4266,4 +4334,5 @@ def oracle_sql() -> dict[str, str]:
         # domain-split twin: identical URL synthesis, then the SHARED
         # (domain, bucket, split) SQL renderings from ops/splits.py.
         "domain_split": _domain_split_oracle_sql(),
+        "classifier_calibration": _classifier_calibration_oracle_sql(),
     }

@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "psi_drift",
     "cdx_select",
     "domain_split",
+    "classifier_calibration",
 ]
 
 
