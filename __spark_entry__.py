@@ -520,6 +520,22 @@ def q_paragraph_dedup(spark, sf_dir):
     )
 
 
+def q_boilerplate_removal(spark, sf_dir):
+    """Frequency-threshold boilerplate removal (ops/paragraphs.py::
+    remove_boilerplate_paragraphs — the kill-all policy complement of
+    paragraph_dedup's keep-one): paragraphs occurring > 3 times
+    corpus-wide are cut from EVERY document; one md5-hash count
+    aggregate, join-back, groupBy(doc_id) reassembly."""
+    from kenlm_rs_spark.ops.paragraphs import remove_boilerplate_paragraphs
+
+    docs = _docs(spark, sf_dir)
+    out = remove_boilerplate_paragraphs(docs, max_count=3, sep=" the ")
+    return out.select(
+        "doc_id", "n_paras", "n_kept", "n_boiler",
+        F.md5("text_clean").alias("clean_md5"),
+    )
+
+
 def q_bucket_resample(spark, sf_dir):
     """CCNet head/middle/tail resampling: deterministic md5-keyed per-bucket
     sampling (pipeline/quality.bucket_resample) — u(doc) = first 8 md5 hex
@@ -2090,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_select": q_cdx_select,
         "domain_split": q_domain_split,
         "classifier_calibration": q_classifier_calibration,
+        "boilerplate_removal": q_boilerplate_removal,
     }
 
 
@@ -4335,4 +4352,36 @@ def oracle_sql() -> dict[str, str]:
         # (domain, bucket, split) SQL renderings from ops/splits.py.
         "domain_split": _domain_split_oracle_sql(),
         "classifier_calibration": _classifier_calibration_oracle_sql(),
+        # boilerplate twin: identical split / md5-count / threshold /
+        # ordered-rejoin chain as the paragraph_dedup twin, kill-all policy
+        "boilerplate_removal": """
+            WITH ps AS (
+              SELECT doc_id, string_split(text, ' the ') AS parts
+              FROM documents
+            ), u AS (
+              SELECT doc_id,
+                     unnest(range(len(parts))) AS para_idx,
+                     unnest(parts) AS para
+              FROM ps
+            ), p AS (
+              SELECT doc_id, para_idx, para, md5(para) AS h
+              FROM u WHERE trim(para) != ''
+            ), freq AS (
+              SELECT h, CAST(count(*) AS BIGINT) AS n_occ
+              FROM p GROUP BY h
+            ), k AS (
+              SELECT p.doc_id, p.para_idx, p.para,
+                     (freq.n_occ <= 3) AS keep
+              FROM p JOIN freq USING (h)
+            )
+            SELECT doc_id, count(*) AS n_paras,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_kept,
+                   count(*) - CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_boiler,
+                   md5(coalesce(string_agg(CASE WHEN keep THEN para END,
+                                  ' the ' ORDER BY para_idx), ''))
+                     AS clean_md5
+            FROM k GROUP BY doc_id
+        """,
     }

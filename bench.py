@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "cdx_select",
     "domain_split",
     "classifier_calibration",
+    "boilerplate_removal",
 ]
 
 

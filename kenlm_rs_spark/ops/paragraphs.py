@@ -140,3 +140,57 @@ def paragraph_filter(
         )
         .withColumn("kept_frac", F.col("n_kept") / F.col("n_paras"))
     )
+
+
+def remove_boilerplate_paragraphs(
+    df: DataFrame,
+    max_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = PARA_SPLIT,
+) -> DataFrame:
+    """MassiveText/RefinedWeb-style boilerplate removal (Rae et al. 2021
+    repetition filters' corpus-level cousin; Penedo et al. 2023 line
+    dedup): a paragraph occurring in MORE than ``max_count`` places
+    corpus-wide is navigation/footer/cookie-notice boilerplate — remove
+    it from EVERY document, including the first occurrence. The policy
+    complement of ``paragraph_dedup`` (which keeps one canonical copy of
+    genuinely quoted content): dedup preserves information, boilerplate
+    removal deletes it, and real pipelines run dedup with a keep-one
+    policy AND boilerplate removal with a kill-all policy at different
+    thresholds.
+
+    Scale shape: identical to paragraph_dedup — one shuffle on
+    md5(paragraph) reduced to a per-hash COUNT (uniform key; a footer
+    repeated 10^9 times is one aggregate row, never a window), the
+    count table joined back on the hash, reassembly one groupBy(doc_id).
+
+    Returns (doc_id, n_paras, n_kept, n_boiler, text_clean)."""
+    if max_count < 1:
+        raise ValueError(f"max_count must be >= 1, got {max_count}")
+    paras = split_paragraphs(df, id_col, text_col, sep).withColumn(
+        "h", F.md5(F.col("para"))
+    )
+    freq = paras.groupBy("h").agg(F.count("*").cast("long").alias("n_occ"))
+    kept = paras.join(freq, "h").withColumn(
+        "keep", F.col("n_occ") <= F.lit(int(max_count))
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.col("keep").cast("int")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("para_idx", "para"))
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("text_clean"),
+        )
+        .withColumn("n_boiler", (F.col("n_paras") - F.col("n_kept")))
+    )

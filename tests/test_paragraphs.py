@@ -116,3 +116,42 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
     assert got[3]["text_clean"] == "" and got[3]["n_kept"] == 0
     assert got[4]["text_clean"] == "repeated\nother"
     assert (got[4]["n_paras"], got[4]["n_kept"]) == (3, 2)
+
+
+def test_boilerplate_removal_kill_all_policy(spark):
+    """Frequency-threshold law: a paragraph occurring > max_count times
+    corpus-wide disappears from EVERY doc (no canonical survivor, unlike
+    paragraph_dedup); paragraphs at or under the threshold are untouched
+    everywhere, within-doc occurrences all count toward the frequency."""
+    import pytest
+
+    from kenlm_rs_spark.ops.paragraphs import remove_boilerplate_paragraphs
+
+    FOOTER = "all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique one\n{FOOTER}\ntwice"),
+            (2, f"{FOOTER}\ntwice"),          # 'twice' occurs 2x total
+            (3, f"{FOOTER}\nfresh"),
+            (4, FOOTER),                      # footer occurs 4x -> boiler
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_paragraphs(docs, max_count=3).collect()
+    }
+    assert got[1]["text_clean"] == "unique one\ntwice"
+    assert (got[1]["n_paras"], got[1]["n_kept"], got[1]["n_boiler"]) == (3, 2, 1)
+    assert got[2]["text_clean"] == "twice"
+    assert got[3]["text_clean"] == "fresh"
+    assert got[4]["text_clean"] == "" and got[4]["n_boiler"] == 1
+    # max_count=4 lets the footer survive everywhere, original order kept
+    all_kept = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_paragraphs(docs, max_count=4).collect()
+    }
+    assert all_kept[1]["text_clean"] == f"unique one\n{FOOTER}\ntwice"
+    assert all_kept[4]["text_clean"] == FOOTER
+    with pytest.raises(ValueError):
+        remove_boilerplate_paragraphs(docs, max_count=0)
