@@ -87,6 +87,18 @@ def psi_drift(
     """
     group_cols = group_cols or []
     cnt = snapshot_histogram(df, value_col, is_new, bin_width, group_cols)
+    return psi_from_counts(cnt, group_cols)
+
+
+def psi_from_counts(
+    cnt: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """PSI from an aligned histogram (group..., bin, k_old, k_new) —
+    the stage `psi_drift` composes after `snapshot_histogram`, exposed so
+    other producers of the same shape (the streaming monitor's per-epoch
+    counts joined against a baseline, merged crawl-cadence histograms)
+    reuse the identical smoothing/log/DECIMAL-sum arithmetic."""
+    group_cols = group_cols or []
     tot = cnt.groupBy(*group_cols).agg(
         F.sum("k_old").cast("long").alias("n_old"),
         F.sum("k_new").cast("long").alias("n_new"),
