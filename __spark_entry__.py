@@ -536,6 +536,30 @@ def q_boilerplate_removal(spark, sf_dir):
     )
 
 
+# Filter-ablation rule set — ANSI boolean expressions BOTH engines execute
+# verbatim (the ordered list is the shared source: the Spark side evaluates
+# them as flag columns, the oracle renders the identical conditional sums
+# via ops/ablation.ablation_sql). 'tiny' is a deliberate strict subset of
+# 'short' so the row pins the subset structure (n_unique = n_first = 0).
+_ABLATION_RULES = [
+    ("short", "length(text) < 150"),
+    ("tiny", "length(text) < 100"),
+    ("no_the", "instr(text, 'the') = 0"),
+    ("key_start", "substring(text, 1, 4) = 'key '"),
+]
+
+
+def q_filter_ablation(spark, sf_dir):
+    """Filter ablation / attribution report (ops/ablation.py): for the
+    ordered rule set, per-rule n_flagged / n_unique (only-this-rule) /
+    n_first (first-failing waterfall) in ONE corpus pass — a single
+    aggregation of 3·k conditional sums, unpivoted on the tiny result."""
+    from kenlm_rs_spark.ops.ablation import filter_ablation
+
+    docs = _docs(spark, sf_dir).select("text")
+    return filter_ablation(docs, _ABLATION_RULES)
+
+
 def q_bucket_resample(spark, sf_dir):
     """CCNet head/middle/tail resampling: deterministic md5-keyed per-bucket
     sampling (pipeline/quality.bucket_resample) — u(doc) = first 8 md5 hex
@@ -2107,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_split": q_domain_split,
         "classifier_calibration": q_classifier_calibration,
         "boilerplate_removal": q_boilerplate_removal,
+        "filter_ablation": q_filter_ablation,
     }
 
 
@@ -2243,6 +2268,12 @@ def _pagerank_oracle_sql(n_iter: int, damping: float = 0.85) -> str:
 
 def _with_toks(inner: str = "documents") -> str:
     return f"(SELECT *, {_TOKS} AS toks FROM {inner})"
+
+
+def _filter_ablation_oracle_sql() -> str:
+    from kenlm_rs_spark.ops.ablation import ablation_sql
+
+    return ablation_sql(_ABLATION_RULES, "documents")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4384,4 +4415,8 @@ def oracle_sql() -> dict[str, str]:
                      AS clean_md5
             FROM k GROUP BY doc_id
         """,
+        # ablation twin: rendered from the SAME ordered rule list by
+        # ops/ablation.ablation_sql — identical predicates, identical
+        # conditional-sum arithmetic, BIGINT casts.
+        "filter_ablation": _filter_ablation_oracle_sql(),
     }
