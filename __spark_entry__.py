@@ -1049,6 +1049,26 @@ def q_ivf_ann(spark, sf_dir):
     )
 
 
+def q_bitext_mining(spark, sf_dir):
+    """Margin-based bitext mining (ops/bitext.py, Artetxe & Schwenk 2019):
+    mutual best-ratio-margin pairs between the even-id and odd-id halves
+    of the embedding table (two monolingual snapshots stand-in). Cast to
+    array<double> both engines (same reason as q_ivf_ann: f32 fold
+    profiles differ; all-double cosines are bit-equal), neighbourhood
+    means via the round-6/DECIMAL(38,9) order-independent sum."""
+    from kenlm_rs_spark.ops.bitext import mine_bitext
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return mine_bitext(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        threshold=1.0,
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing (seq_len=512): per-doc stream
     offset + touched training sequences via the two-level distributed
@@ -2098,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": q_c4_rules,
         "robots_filter": q_robots_filter,
         "ivf_ann": q_ivf_ann,
+        "bitext_mining": q_bitext_mining,
         "pack_sequences": q_pack_sequences,
         "bloom_filter": q_bloom_filter,
         "cms_counts": q_cms_counts,
@@ -2285,6 +2306,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     from kenlm_rs_spark.builder.phrase_filter import PhraseSets
+    from kenlm_rs_spark.ops.bitext import mine_bitext_sql
     from kenlm_rs_spark.ops.urls import (
         canonical_url_sql_expr,
         registered_domain_sql_expr,
@@ -3572,6 +3594,18 @@ def oracle_sql() -> dict[str, str]:
                    node = min(r) AS is_survivor
             FROM reach GROUP BY node
         """,
+        # bitext-mining twin: rendered by ops/bitext.mine_bitext_sql —
+        # identical cosine fold (DOUBLE[] both engines), identical
+        # round-6/DECIMAL(38,9) neighbourhood sums, identical window
+        # tie-breaks and margin IEEE sequence.
+        "bitext_mining": mine_bitext_sql(
+            "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding "
+            "FROM embeddings WHERE vec_id % 2 = 0)",
+            "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding "
+            "FROM embeddings WHERE vec_id % 2 = 1)",
+            k=4,
+            threshold=1.0,
+        ),
         # IVF-Flat ANN twin: rebuilds the identical deterministic structure
         # (centroids = vec_id % 37 == 0; assignment/probes ranked on
         # round(cos, 9) with smallest-cid tie-break). All dot products on

@@ -1,0 +1,193 @@
+"""Margin-based bitext mining — aligning parallel documents across two
+monolingual corpora by embedding similarity (Artetxe & Schwenk 2019,
+"Margin-based Parallel Corpus Mining with Multilingual Sentence
+Embeddings"; the CCMatrix / CCAligned / WikiMatrix recipe). For every
+source document the score of a target candidate is its cosine divided by
+the average cosine of BOTH documents' k-nearest neighbourhoods (the
+"ratio" margin) — absolute cosine alone over-selects hub vectors whose
+neighbourhood is uniformly close; the margin normalizes that density out.
+A pair is mined when each side is the other's best-margin candidate
+(mutual / "intersection" strategy) and the margin clears a threshold.
+
+The reference engine has no cross-corpus alignment; this extends the
+multilingual-pipeline surface next to language ID (pipeline/langid.py)
+and temperature rebalancing (ops/mixing.py), which consume exactly the
+parallel data this op mines.
+
+Scale shape (100 TB): candidate generation is the pluggable stage. Here
+it is a block join with the target snapshot broadcast (exact, the
+oracle-checkable baseline — mirrors ops/similarity.brute_force_topk); at
+web scale you tile src x tgt in snapshot blocks or feed LSH-bucketed
+candidates (ops/similarity.embedding_near_dup_pairs) and the margin
+statistics are computed over the candidate lists exactly as the paper
+does over FAISS ANN lists. Downstream of candidates everything is
+uniform-key work: two row_number windows partitioned by src/tgt id, two
+k-row-per-id aggregates, a join-back on ids, and a mutual-argmax join —
+no global sort, no skewed key (ids are unique).
+
+Engine-exact floats (the repo's float discipline): cosines are
+deterministic doubles (fixed-order fold over the array — bit-equal to
+DuckDB's list_dot_product, proven by the cosine_topk gate row since r3);
+neighbourhood means use the domain_prior pattern — each cosine round-6ed
+and cast DECIMAL(38,9) BEFORE the sum so the aggregation is
+order-independent, then ONE IEEE division per side and a fixed sequence
+of IEEE ops for the margin — bit-equal across engines, so even the
+argmax ranking needs no tolerance band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import cosine_similarity_col
+
+
+def mine_bitext(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual best-margin pairs between `src` and `tgt` embeddings.
+
+    Returns (src_id, tgt_id, cosine, margin) — one row per mined pair,
+    margin >= threshold, each side the other's best-margin candidate
+    within its k-NN list. `cosine`/`margin` are round-6 for output; the
+    selection itself runs on the deterministic unrounded doubles.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("svec"))
+    t = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("tvec"))
+
+    pairs = s.join(F.broadcast(t)).select(
+        "src_id",
+        "tgt_id",
+        cosine_similarity_col(F.col("svec"), F.col("tvec")).alias("cos"),
+    )
+    w_s = Window.partitionBy("src_id").orderBy(F.desc("cos"), "tgt_id")
+    w_t = Window.partitionBy("tgt_id").orderBy(F.desc("cos"), "src_id")
+    ranked = (
+        pairs.withColumn("rs", F.row_number().over(w_s))
+        .withColumn("rt", F.row_number().over(w_t))
+        .filter((F.col("rs") <= k) | (F.col("rt") <= k))
+    )
+
+    cos_dec = F.round("cos", 6).cast("decimal(38,9)")
+    nn_s = (
+        ranked.filter(F.col("rs") <= k)
+        .groupBy("src_id")
+        .agg(F.sum(cos_dec).alias("ssum"), F.count(F.lit(1)).alias("scnt"))
+    )
+    nn_t = (
+        ranked.filter(F.col("rt") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum(cos_dec).alias("tsum"), F.count(F.lit(1)).alias("tcnt"))
+    )
+    margin = (
+        ranked.join(nn_s, "src_id")
+        .join(nn_t, "tgt_id")
+        .withColumn(
+            "margin",
+            F.col("cos")
+            / (
+                (
+                    F.col("ssum").cast("double") / F.col("scnt")
+                    + F.col("tsum").cast("double") / F.col("tcnt")
+                )
+                / F.lit(2.0)
+            ),
+        )
+    )
+    w_ms = Window.partitionBy("src_id").orderBy(F.desc("margin"), "tgt_id")
+    w_mt = Window.partitionBy("tgt_id").orderBy(F.desc("margin"), "src_id")
+    fwd = (
+        margin.filter(F.col("rs") <= k)
+        .withColumn("mr", F.row_number().over(w_ms))
+        .filter(F.col("mr") == 1)
+        .select("src_id", "tgt_id", "cos", "margin")
+    )
+    bwd = (
+        margin.filter(F.col("rt") <= k)
+        .withColumn("mr", F.row_number().over(w_mt))
+        .filter(F.col("mr") == 1)
+        .select("src_id", "tgt_id")
+    )
+    return (
+        fwd.join(bwd, ["src_id", "tgt_id"])
+        .filter(F.col("margin") >= F.lit(float(threshold)))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round("cos", 6).alias("cosine"),
+            F.round("margin", 6).alias("margin"),
+        )
+    )
+
+
+def mine_bitext_sql(
+    src_sql: str,
+    tgt_sql: str,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """The DuckDB twin: identical cosine (list_dot_product fold order),
+    identical round-6/DECIMAL(38,9) neighbourhood sums, identical IEEE
+    margin sequence and window tie-breaks, rendered as SQL over
+    `src_sql` / `tgt_sql` (table names or parenthesized subqueries)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return f"""
+        WITH p AS (
+          SELECT s.{id_col} AS src_id, t.{id_col} AS tgt_id,
+                 list_dot_product(s.{vec_col}, t.{vec_col}) /
+                 (sqrt(list_dot_product(s.{vec_col}, s.{vec_col})) *
+                  sqrt(list_dot_product(t.{vec_col}, t.{vec_col}))) AS cos
+          FROM {src_sql} s, {tgt_sql} t
+        ), r AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY src_id
+                                    ORDER BY cos DESC, tgt_id) AS rs,
+                 row_number() OVER (PARTITION BY tgt_id
+                                    ORDER BY cos DESC, src_id) AS rt
+          FROM p
+        ), rk AS (
+          SELECT * FROM r WHERE rs <= {k} OR rt <= {k}
+        ), nns AS (
+          SELECT src_id,
+                 sum(CAST(round(cos, 6) AS DECIMAL(38,9))) AS ssum,
+                 CAST(count(*) AS BIGINT) AS scnt
+          FROM rk WHERE rs <= {k} GROUP BY src_id
+        ), nnt AS (
+          SELECT tgt_id,
+                 sum(CAST(round(cos, 6) AS DECIMAL(38,9))) AS tsum,
+                 CAST(count(*) AS BIGINT) AS tcnt
+          FROM rk WHERE rt <= {k} GROUP BY tgt_id
+        ), m AS (
+          SELECT rk.*, rk.cos /
+                 ((CAST(nns.ssum AS DOUBLE) / nns.scnt +
+                   CAST(nnt.tsum AS DOUBLE) / nnt.tcnt) / 2.0) AS margin
+          FROM rk JOIN nns USING (src_id) JOIN nnt USING (tgt_id)
+        ), fwd AS (
+          SELECT src_id, tgt_id, cos, margin FROM (
+            SELECT *, row_number() OVER (PARTITION BY src_id
+                                         ORDER BY margin DESC, tgt_id) AS mr
+            FROM m WHERE rs <= {k}
+          ) WHERE mr = 1
+        ), bwd AS (
+          SELECT src_id, tgt_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY tgt_id
+                                         ORDER BY margin DESC, src_id) AS mr
+            FROM m WHERE rt <= {k}
+          ) WHERE mr = 1
+        )
+        SELECT fwd.src_id, fwd.tgt_id,
+               round(fwd.cos, 6) AS cosine, round(fwd.margin, 6) AS margin
+        FROM fwd JOIN bwd USING (src_id, tgt_id)
+        WHERE fwd.margin >= {float(threshold)!r}
+    """
