@@ -1049,6 +1049,25 @@ def q_ivf_ann(spark, sf_dir):
     )
 
 
+def q_script_profile(spark, sf_dir):
+    """Unicode script profiling (ops/scripts.py): per-doc frozen-block
+    codepoint counts + priority-argmax dominant script. The corpus text
+    is ASCII, so both engines append a deterministic doc_id-arithmetic
+    mixed-script suffix (repeat('ж', id%5) || repeat('中', id%3)) to
+    exercise the non-Latin classes and the dominant flip on short docs."""
+    from kenlm_rs_spark.ops.scripts import script_profile
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.expr("repeat('ж', CAST(doc_id % 5 AS INT))"),
+            F.expr("repeat('中', CAST(doc_id % 3 AS INT))"),
+        ).alias("text"),
+    )
+    return script_profile(docs)
+
+
 def q_bitext_mining(spark, sf_dir):
     """Margin-based bitext mining (ops/bitext.py, Artetxe & Schwenk 2019):
     mutual best-ratio-margin pairs between the even-id and odd-id halves
@@ -2119,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "ivf_ann": q_ivf_ann,
         "bitext_mining": q_bitext_mining,
+        "script_profile": q_script_profile,
         "pack_sequences": q_pack_sequences,
         "bloom_filter": q_bloom_filter,
         "cms_counts": q_cms_counts,
@@ -2307,6 +2327,7 @@ def oracle_sql() -> dict[str, str]:
 
     from kenlm_rs_spark.builder.phrase_filter import PhraseSets
     from kenlm_rs_spark.ops.bitext import mine_bitext_sql
+    from kenlm_rs_spark.ops.scripts import script_profile_sql
     from kenlm_rs_spark.ops.urls import (
         canonical_url_sql_expr,
         registered_domain_sql_expr,
@@ -3594,6 +3615,15 @@ def oracle_sql() -> dict[str, str]:
                    node = min(r) AS is_survivor
             FROM reach GROUP BY node
         """,
+        # script-profile twin: rendered by ops/scripts.script_profile_sql
+        # from the same frozen literal-range classes; identical
+        # doc_id-arithmetic mixed-script suffix.
+        "script_profile": script_profile_sql(
+            "(SELECT doc_id, coalesce(text, '') "
+            "|| repeat('ж', CAST(doc_id % 5 AS INTEGER)) "
+            "|| repeat('中', CAST(doc_id % 3 AS INTEGER)) AS text "
+            "FROM documents)"
+        ),
         # bitext-mining twin: rendered by ops/bitext.mine_bitext_sql —
         # identical cosine fold (DOUBLE[] both engines), identical
         # round-6/DECIMAL(38,9) neighbourhood sums, identical window
