@@ -1049,6 +1049,16 @@ def q_ivf_ann(spark, sf_dir):
     )
 
 
+def q_topic_tag(spark, sf_dir):
+    """Keyword-taxonomy topic tagging (ops/topics.py): per-doc dictionary
+    hit counts + min-struct dominant topic over the frozen DEFAULT_TAXONOMY
+    — tokenize once, broadcast dictionary join, no corpus shuffle except
+    the doc_id rollup."""
+    from kenlm_rs_spark.ops.topics import topic_tag
+
+    return topic_tag(_docs(spark, sf_dir))
+
+
 def q_script_profile(spark, sf_dir):
     """Unicode script profiling (ops/scripts.py): per-doc frozen-block
     codepoint counts + priority-argmax dominant script. The corpus text
@@ -2139,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "bitext_mining": q_bitext_mining,
         "script_profile": q_script_profile,
+        "topic_tag": q_topic_tag,
         "pack_sequences": q_pack_sequences,
         "bloom_filter": q_bloom_filter,
         "cms_counts": q_cms_counts,
@@ -2328,6 +2339,7 @@ def oracle_sql() -> dict[str, str]:
     from kenlm_rs_spark.builder.phrase_filter import PhraseSets
     from kenlm_rs_spark.ops.bitext import mine_bitext_sql
     from kenlm_rs_spark.ops.scripts import script_profile_sql
+    from kenlm_rs_spark.ops.topics import topic_tag_sql
     from kenlm_rs_spark.ops.urls import (
         canonical_url_sql_expr,
         registered_domain_sql_expr,
@@ -3615,6 +3627,9 @@ def oracle_sql() -> dict[str, str]:
                    node = min(r) AS is_survivor
             FROM reach GROUP BY node
         """,
+        # topic-tagging twin: rendered by ops/topics.topic_tag_sql from the
+        # same frozen taxonomy (shared TOKEN_SPLIT, min-struct argmax).
+        "topic_tag": topic_tag_sql("documents"),
         # script-profile twin: rendered by ops/scripts.script_profile_sql
         # from the same frozen literal-range classes; identical
         # doc_id-arithmetic mixed-script suffix.

@@ -140,6 +140,11 @@ BENCH_QUERIES = [
     "domain_split",
     "classifier_calibration",
     "boilerplate_removal",
+    # added late r05 (appended so earlier per-query timings stay comparable)
+    "filter_ablation",
+    "bitext_mining",
+    "script_profile",
+    "topic_tag",
 ]
 
 
