@@ -667,6 +667,47 @@ def q_image_pixel_stats(spark, sf_dir):
     )
 
 
+def q_gif_pixel_stats(spark, sf_dir):
+    """REAL GIF pixel decode (retires the GIF LZW stub — VERDICT r4 left
+    JPEG/GIF/WEBP declared; GIF's LZW needs no external codec): per doc_id
+    a patterned 256-color GIF (ops/imagegen.make_gif_patterned — REAL
+    forward LZW compression) is synthesized on executors, decompressed by
+    the independent LZW decoder (ops/multimodal._lzw_decode_gif), mapped
+    through the palette and reduced to pixel statistics. The oracle
+    recomputes everything from idx(x,y) = (7x+13y) mod 256 and
+    palette[i][c] = (i*(c+1)) mod 256 without touching image bytes."""
+    import pandas as pd
+
+    from kenlm_rs_spark.ops.imagegen import make_gif_patterned
+    from kenlm_rs_spark.ops.multimodal import image_pixel_stats
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = [
+                make_gif_patterned(8 + int(i) % 25, 8 + (int(i) * 3) % 25)
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+    return image_pixel_stats(payloads).select(
+        "doc_id",
+        "format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        F.round("aspect", 9).alias("aspect"),
+        F.round("mean_c0", 9).alias("mean_c0"),
+        F.round("mean_c1", 9).alias("mean_c1"),
+        F.round("mean_c2", 9).alias("mean_c2"),
+        F.col("px_min").cast("long").alias("px_min"),
+        F.col("px_max").cast("long").alias("px_max"),
+        F.round("entropy_bits", 6).alias("entropy_bits"),
+    )
+
+
 def q_image_pooled_features(spark, sf_dir):
     """REAL resize + feature-extract (the brief's image feature kernel,
     honest edition): decode patterned payloads, grayscale, average-pool to
@@ -2150,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_mining": q_bitext_mining,
         "script_profile": q_script_profile,
         "topic_tag": q_topic_tag,
+        "gif_pixel_stats": q_gif_pixel_stats,
         "pack_sequences": q_pack_sequences,
         "bloom_filter": q_bloom_filter,
         "cms_counts": q_cms_counts,
@@ -3360,6 +3402,56 @@ def oracle_sql() -> dict[str, str]:
             JOIN mm ON mm.doc_id = d.doc_id
             JOIN ent ON ent.doc_id = d.doc_id
             GROUP BY d.doc_id, d.fmt, d.w, d.h, d.ch, mm.px_min, mm.px_max,
+                     ent.entropy_bits
+        """,
+        # GIF pixel-decode twin: idx(x,y) = (7x+13y)%256 through palette
+        # palette[i][c] = (i*(c+1))%256 — integer sums/counts are exact;
+        # the real LZW encode/decode roundtrip happens only on the Spark
+        # side (the oracle never touches bytes, same as image_pixel_stats).
+        "gif_pixel_stats": """
+            WITH dims AS (
+              SELECT doc_id,
+                     8 + doc_id % 25 AS w,
+                     8 + (doc_id * 3) % 25 AS h
+              FROM documents
+            ), px AS (
+              SELECT d.doc_id, c.range AS chan,
+                     (((x.range * 7 + y.range * 13) % 256) * (c.range + 1))
+                       % 256 AS v
+              FROM dims d, range(0, 32) x, range(0, 32) y, range(0, 3) c
+              WHERE x.range < d.w AND y.range < d.h
+            ), cm AS (
+              SELECT doc_id, chan,
+                     round(CAST(sum(v) AS DOUBLE) / count(*), 9) AS m
+              FROM px GROUP BY 1, 2
+            ), hist AS (
+              SELECT doc_id, v, count(*) AS cnt FROM px GROUP BY 1, 2
+            ), ent AS (
+              SELECT hist.doc_id,
+                     round(-sum((CAST(cnt AS DOUBLE) / (d.w * d.h * 3))
+                           * log2(CAST(cnt AS DOUBLE) / (d.w * d.h * 3))), 6)
+                       AS entropy_bits
+              FROM hist JOIN dims d ON d.doc_id = hist.doc_id
+              GROUP BY 1, d.w, d.h
+            ), mm AS (
+              SELECT doc_id, min(v) AS px_min, max(v) AS px_max
+              FROM px GROUP BY 1
+            )
+            SELECT d.doc_id, 'gif' AS format,
+                   CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+                   CAST(3 AS BIGINT) AS channels,
+                   round(CAST(d.w AS DOUBLE) / d.h, 9) AS aspect,
+                   max(CASE WHEN cm.chan = 0 THEN cm.m END) AS mean_c0,
+                   max(CASE WHEN cm.chan = 1 THEN cm.m END) AS mean_c1,
+                   max(CASE WHEN cm.chan = 2 THEN cm.m END) AS mean_c2,
+                   CAST(mm.px_min AS BIGINT) AS px_min,
+                   CAST(mm.px_max AS BIGINT) AS px_max,
+                   ent.entropy_bits
+            FROM dims d
+            JOIN cm ON cm.doc_id = d.doc_id
+            JOIN mm ON mm.doc_id = d.doc_id
+            JOIN ent ON ent.doc_id = d.doc_id
+            GROUP BY d.doc_id, d.w, d.h, mm.px_min, mm.px_max,
                      ent.entropy_bits
         """,
         "robots_filter": """

@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "bitext_mining",
     "script_profile",
     "topic_tag",
+    "gif_pixel_stats",
 ]
 
 

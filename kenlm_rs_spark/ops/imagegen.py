@@ -208,6 +208,85 @@ def make_bmp_patterned(w: int, h: int) -> bytes:
     return header + info + pixels
 
 
+def lzw_encode_gif(indices: bytes, min_code_size: int) -> bytes:
+    """REAL GIF-flavor LZW compression (GIF89a spec appendix F): variable
+    code width starting min_code_size+1, LSB-first bit packing, Clear/EOI
+    codes, dictionary grown per emitted string, reset at 4096. Written
+    FORWARD, independently of the decoder in ops/multimodal.decode_pixels
+    — the roundtrip test cross-checks both."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return (
+            {bytes([i]): i for i in range(clear)},
+            eoi + 1,
+            min_code_size + 1,
+        )
+
+    table, nxt, width = fresh()
+    emit(clear, width)
+    buf = b""
+    for b in indices:
+        cand = buf + bytes([b])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        table[cand] = nxt
+        nxt += 1
+        # the just-registered code must be representable in the width the
+        # DECODER uses when it mirrors this registration one step later
+        if nxt == (1 << width) + 1 and width < 12:
+            width += 1
+        if nxt > 4095:
+            emit(clear, width)
+            table, nxt, width = fresh()
+        buf = bytes([b])
+    if buf:
+        emit(table[buf], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+GIF_PALETTE_MULS = (1, 2, 3)  # palette[i] = ((i, 2i, 3i) each % 256)
+
+
+def make_gif_patterned(w: int, h: int) -> bytes:
+    """Valid GIF89a with REAL LZW-compressed patterned pixels: 256-color
+    global palette palette[i] = (i, 2i%256, 3i%256), index(x, y) =
+    (7x + 13y) % 256 (pattern_pixels channel 0) — so a SQL oracle predicts
+    every decoded-RGB statistic from doc_id arithmetic alone."""
+    idx = pattern_pixels(w, h, 1).reshape(-1).tobytes()
+    palette = bytes(
+        (i * m) % 256 for i in range(256) for m in GIF_PALETTE_MULS
+    )
+    lsd = struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global 256-entry table
+    img_desc = b"," + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    stream = lzw_encode_gif(idx, 8)
+    blocks = bytearray([8])  # min code size
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return b"GIF89a" + lsd + palette + img_desc + bytes(blocks) + b";"
+
+
 def make_mp4(
     w: int, h: int, duration_units: int, timescale: int = 1000
 ) -> bytes:

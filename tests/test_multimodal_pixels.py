@@ -60,15 +60,84 @@ def test_decode_hand_golden_sub_filter():
 
 
 def test_codec_boundaries_raise():
-    """JPEG/GIF/WEBP pixel paths are the declared NotImplementedError
-    boundary (entropy/LZW codecs); header metadata still parses."""
+    """JPEG/WEBP pixel paths are the declared NotImplementedError boundary
+    (true entropy codecs); header metadata still parses. The legacy
+    1-pixel-stream GIF (make_gif) now hits the REAL LZW decoder and fails
+    honestly as truncated (ValueError), keeping stats rows 'undecodable'."""
     from kenlm_rs_spark.ops.imagegen import make_gif, make_jpeg, make_webp_vp8l
     from kenlm_rs_spark.ops.multimodal import decode_pixels, parse_image_header
 
-    for payload in (make_jpeg(4, 3), make_gif(4, 3), make_webp_vp8l(4, 3)):
+    for payload in (make_jpeg(4, 3), make_webp_vp8l(4, 3)):
         assert parse_image_header(payload) is not None
         with pytest.raises(NotImplementedError):
             decode_pixels(payload)
+    assert parse_image_header(make_gif(4, 3)) is not None
+    with pytest.raises(ValueError, match="truncated"):
+        decode_pixels(make_gif(4, 3))
+
+
+def test_gif_lzw_roundtrip():
+    """Forward LZW compressor (imagegen) against the independent reverse
+    decompressor (multimodal): patterned, random (width growth through 12
+    bits + 4096 table reset), runs (KwKwK case), tiny, and mcs=2."""
+    import random
+
+    from kenlm_rs_spark.ops.imagegen import lzw_encode_gif
+    from kenlm_rs_spark.ops.multimodal import _lzw_decode_gif
+
+    rng = random.Random(0)
+    cases = [
+        bytes(range(256)) * 40,
+        bytes(rng.randrange(256) for _ in range(20000)),  # forces reset
+        b"\x00" * 5000,        # KwKwK-heavy run
+        b"abcabcabc" * 700,
+        bytes([5]),
+    ]
+    for data in cases:
+        assert _lzw_decode_gif(lzw_encode_gif(data, 8), 8, len(data)) == data
+    d2 = bytes(rng.randrange(4) for _ in range(3000))
+    assert _lzw_decode_gif(lzw_encode_gif(d2, 2), 2, len(d2)) == d2
+
+
+def test_gif_lzw_hand_golden():
+    """The legacy trivial stream (written independently in r4's make_gif:
+    0x02 0x44 0x01 = Clear, literal 0, EOI at mcs=2) decodes to exactly
+    one index — a hand-checkable vector for the bit unpacking."""
+    from kenlm_rs_spark.ops.multimodal import _lzw_decode_gif
+
+    assert _lzw_decode_gif(b"\x44\x01", 2, 1) == b"\x00"
+    with pytest.raises(ValueError, match="truncated"):
+        _lzw_decode_gif(b"\x44\x01", 2, 2)
+
+
+def test_gif_roundtrip_patterned():
+    """decode(make_gif_patterned(w,h)) == palette-mapped pattern."""
+    from kenlm_rs_spark.ops.imagegen import (
+        GIF_PALETTE_MULS,
+        make_gif_patterned,
+        pattern_pixels,
+    )
+    from kenlm_rs_spark.ops.multimodal import decode_pixels
+
+    for w, h in ((1, 1), (8, 8), (33, 21), (40, 13)):
+        got = decode_pixels(make_gif_patterned(w, h))
+        assert got.shape == (h, w, 3)
+        idx = pattern_pixels(w, h, 1)[:, :, 0].astype(np.int64)
+        for c, m in enumerate(GIF_PALETTE_MULS):
+            assert (got[:, :, c].astype(np.int64) == (idx * m) % 256).all()
+
+
+def test_gif_interlaced_declared():
+    from kenlm_rs_spark.ops.imagegen import make_gif_patterned
+    from kenlm_rs_spark.ops.multimodal import decode_pixels
+
+    payload = bytearray(make_gif_patterned(8, 8))
+    # image descriptor flags byte: 6 (header) + 7 (LSD) + 768 (palette)
+    # + 1 (',') + 8 (left/top/w/h) = offset 790
+    assert payload[781] == ord(",")
+    payload[790] |= 0x40  # set interlace bit
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_pixels(bytes(payload))
 
 
 def test_fixture_images_decode():
