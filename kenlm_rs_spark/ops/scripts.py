@@ -19,8 +19,13 @@ round-6ed. Supplementary-plane scripts (CJK ext-B+, emoji) are outside
 the frozen snapshot and count only toward ``n_chars`` (documented cap).
 
 Scale shape (100 TB): one narrow codegen projection — 2·k regexp passes
-per doc, no shuffle, no UDF, no join; `script_report` adds one
-low-cardinality groupBy(dominant_script).
+per doc, no shuffle, no UDF, no join. The dominant-script CASE chain
+textually inlines every count expression ~30x in the plan, but
+whole-stage codegen's subexpression elimination collapses them (MEASURED,
+sf0.1 local[8] noop-write: full profile 1.06 s vs bare 12-count
+projection 1.20 s — each regex runs once per row; this is the scalar
+case where CSE rescues what the HOF array-inlining pathology in
+CLAUDE.md cannot).
 """
 
 from __future__ import annotations
