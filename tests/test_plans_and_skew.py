@@ -138,3 +138,59 @@ def test_dup3_udf_is_arrow_vectorized(spark):
     plan = _plan(docs.select(ts.make_dup3_udf()(F.col("text")).alias("d")))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_script_profile_single_projection(spark):
+    """script_profile is ONE narrow codegen projection — no shuffle, no
+    join, no Python stage (the r5 plan audit, pinned)."""
+    from kenlm_rs_spark.ops.scripts import script_profile
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(script_profile(docs))
+    for op in ("Exchange", "Join", "ArrowEvalPython", "BatchEvalPython"):
+        assert op not in p, op
+    assert "codegen id" in p
+
+
+def test_topic_tag_broadcasts_dictionary(spark):
+    """The taxonomy dictionary joins broadcast; no cartesian product; the
+    only sort-merge join is the uniform doc_id spine join."""
+    from kenlm_rs_spark.ops.topics import topic_tag
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(topic_tag(docs))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_bitext_candidate_stage_broadcasts(spark):
+    """The brute-force candidate block join broadcasts the target side
+    (the pluggable stage); no shuffle-side cartesian."""
+    from kenlm_rs_spark.ops.bitext import mine_bitext
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = mine_bitext(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=3,
+    )
+    p = _plan(q)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_filter_ablation_single_aggregation(spark):
+    """One corpus pass: a single aggregate (partial+final), the stack
+    unpivot on the aggregate output, no join."""
+    from kenlm_rs_spark.ops.ablation import filter_ablation
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    import re
+
+    p = _plan(filter_ablation(docs, [("a", "length(text) < 100")]))
+    assert "Join" not in p
+    # exactly one shuffle node: the partial->final aggregate exchange
+    # (formatted mode prints each node twice: tree + detail section)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1

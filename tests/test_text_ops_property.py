@@ -1,0 +1,75 @@
+"""Property-based Spark<->DuckDB parity for the r5 text profilers: script
+profiling and topic tagging must agree on ARBITRARY unicode text (mixed
+scripts, astral plane, empties, punctuation runs), not just the synthetic
+corpus the gate rows cover."""
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# pieces spanning the frozen script blocks, astral plane, and noise
+PIECES = st.sampled_from(
+    [
+        "hello", "WORLD", "привет", "Ελλάδα", "مرحبا", "שלום", "नमस्ते",
+        "தமிழ்", "ไทย", "日本語", "かな", "한국어", "中文", "123", "!!!",
+        "\t", "  ", "𝔘𝔫𝔦𝔠𝔬𝔡𝔢", "🚀🌍", "café", "naïve", "Ω", "ё",
+    ]
+)
+TEXT = st.lists(PIECES, max_size=10).map(" ".join)
+MAYBE_TEXT = st.one_of(st.none(), TEXT)
+
+
+def _norm(series):
+    return list(series.astype(object).where(pd.notna(series), None))
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(MAYBE_TEXT, min_size=1, max_size=15))
+def test_script_profile_parity_random_text(spark, texts):
+    from kenlm_rs_spark.ops.scripts import script_profile, script_profile_sql
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = script_profile(df).orderBy("doc_id").toPandas()
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = con.execute(
+        script_profile_sql("docs") + " ORDER BY doc_id"
+    ).fetchdf()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert _norm(got[c]) == _norm(want[c]), c
+
+
+TAX = (
+    ("hello", "greet"), ("привет", "greet"),
+    ("123", "num"), ("café", "accent"),
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(MAYBE_TEXT, min_size=1, max_size=15))
+def test_topic_tag_parity_random_text(spark, texts):
+    from kenlm_rs_spark.ops.topics import topic_tag, topic_tag_sql
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = topic_tag(df, TAX).orderBy("doc_id").toPandas()
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = con.execute(topic_tag_sql("docs", TAX) + " ORDER BY doc_id").fetchdf()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert _norm(got[c]) == _norm(want[c]), c
