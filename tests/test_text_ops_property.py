@@ -73,3 +73,65 @@ def test_topic_tag_parity_random_text(spark, texts):
     assert list(got.columns) == list(want.columns)
     for c in got.columns:
         assert _norm(got[c]) == _norm(want[c]), c
+
+
+VEC = st.lists(
+    st.floats(
+        min_value=-1.0, max_value=1.0, allow_nan=False, allow_infinity=False,
+        width=64,
+    ),
+    min_size=4,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    svecs=st.lists(VEC, min_size=2, max_size=8),
+    tvecs=st.lists(VEC, min_size=2, max_size=8),
+)
+def test_bitext_parity_random_vectors(spark, svecs, tvecs):
+    """The bitext margin pipeline's engine-exactness claim, probed on
+    arbitrary in-range doubles: identical mined pairs AND identical
+    round-6 cosine/margin values (bit-equal IEEE sequences, not a
+    tolerance band). Zero vectors yield NaN cosines on both sides and are
+    excluded up front (NaN ordering differs between engines)."""
+    import math
+
+    from kenlm_rs_spark.ops.bitext import mine_bitext, mine_bitext_sql
+
+    def ok(v):
+        return math.sqrt(sum(x * x for x in v)) > 1e-6
+
+    srows = [(i, v) for i, v in enumerate(svecs) if ok(v)]
+    trows = [(i, v) for i, v in enumerate(tvecs) if ok(v)]
+    if not srows or not trows:
+        return
+    sdf = spark.createDataFrame(srows, "vec_id long, embedding array<double>")
+    tdf = spark.createDataFrame(trows, "vec_id long, embedding array<double>")
+    got = (
+        mine_bitext(sdf, tdf, k=3, threshold=0.0)
+        .orderBy("src_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("s_raw", pd.DataFrame(srows, columns=["vec_id", "embedding"]))
+    con.register("t_raw", pd.DataFrame(trows, columns=["vec_id", "embedding"]))
+    con.execute(
+        "CREATE VIEW s AS SELECT vec_id, CAST(embedding AS DOUBLE[]) "
+        "AS embedding FROM s_raw"
+    )
+    con.execute(
+        "CREATE VIEW t AS SELECT vec_id, CAST(embedding AS DOUBLE[]) "
+        "AS embedding FROM t_raw"
+    )
+    want = con.execute(
+        mine_bitext_sql("s", "t", k=3, threshold=0.0) + " ORDER BY src_id"
+    ).fetchdf()
+    con.close()
+    for c in ["src_id", "tgt_id", "cosine", "margin"]:
+        assert _norm(got[c]) == _norm(want[c]), c
