@@ -14,16 +14,16 @@ multilingual-pipeline surface next to language ID (pipeline/langid.py)
 and temperature rebalancing (ops/mixing.py), which consume exactly the
 parallel data this op mines.
 
-Scale shape (100 TB): candidate generation is the pluggable stage. Here
-it is a block join with the target snapshot broadcast (exact, the
-oracle-checkable baseline — mirrors ops/similarity.brute_force_topk); at
-web scale you tile src x tgt in snapshot blocks or feed LSH-bucketed
-candidates (ops/similarity.embedding_near_dup_pairs) and the margin
-statistics are computed over the candidate lists exactly as the paper
-does over FAISS ANN lists. Downstream of candidates everything is
-uniform-key work: two row_number windows partitioned by src/tgt id, two
-k-row-per-id aggregates, a join-back on ids, and a mutual-argmax join —
-no global sort, no skewed key (ids are unique).
+Scale shape (100 TB): candidate generation is the pluggable stage, and
+BOTH variants ship: `mine_bitext` is the exact baseline (block join with
+the target snapshot broadcast — mirrors ops/similarity.brute_force_topk,
+oracle-checkable), `mine_bitext_lsh` is the scale path (banded
+multi-table hyperplane LSH bucket join, neither corpus broadcast, margin
+statistics over the candidate lists exactly as the paper computes them
+over FAISS ANN lists). Downstream of candidates everything is shared
+(`_margin_select`) and uniform-key: two row_number windows partitioned
+by src/tgt id, two k-row-per-id aggregates, a join-back on ids, and a
+mutual-argmax join — no global sort, no skewed key (ids are unique).
 
 Engine-exact floats (the repo's float discipline): cosines are
 deterministic doubles (fixed-order fold over the array — bit-equal to
@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import cosine_similarity_col
+from .similarity import cosine_similarity_col, hyperplane_signature_col
 
 
 def mine_bitext(
@@ -51,7 +51,9 @@ def mine_bitext(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Mutual best-margin pairs between `src` and `tgt` embeddings.
+    """Mutual best-margin pairs between `src` and `tgt` embeddings, exact
+    (brute-force candidates: every src x tgt pair scored, target side
+    broadcast — the oracle-checkable baseline).
 
     Returns (src_id, tgt_id, cosine, margin) — one row per mined pair,
     margin >= threshold, each side the other's best-margin candidate
@@ -68,6 +70,76 @@ def mine_bitext(
         "tgt_id",
         cosine_similarity_col(F.col("svec"), F.col("tvec")).alias("cos"),
     )
+    return _margin_select(pairs, k, threshold)
+
+
+def mine_bitext_lsh(
+    src: DataFrame,
+    tgt: DataFrame,
+    dim: int,
+    k: int = 4,
+    threshold: float = 1.0,
+    n_tables: int = 6,
+    planes_per_table: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The SCALE path: candidates from banded multi-table hyperplane LSH
+    (the same deterministic plane matrix and band structure as
+    ops/similarity.embedding_near_dup_pairs — both sides hash with
+    identical planes, so parallel documents collide), margins computed
+    over the candidate lists exactly as the paper computes them over
+    FAISS ANN lists. Neither corpus is broadcast and there is no all-pairs
+    join: the bucket join shuffles on uniform (table, sig) keys, every
+    downstream stage is the shared `_margin_select` (uniform-id keys).
+
+    Approximation contract: recall of the exact miner is bounded by the
+    LSH collision probability (tunable via n_tables without touching
+    bucket size); a pair mined here is always scored with the same
+    engine-exact arithmetic as `mine_bitext`, but its margin denominator
+    sees only candidate neighbours (the ANN-list mean — Artetxe & Schwenk
+    §3.2 use exactly this approximation at scale)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def _sigs(df, idc, out_id, out_vec):
+        sig_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    hyperplane_signature_col(
+                        F.col(out_vec), dim, planes_per_table,
+                        plane_offset=t * planes_per_table,
+                    ).alias("sig"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return (
+            df.select(F.col(idc).alias(out_id), F.col(vec_col).alias(out_vec))
+            .withColumn("ts", F.explode(sig_arr))
+            .select(out_id, out_vec, "ts.tbl", "ts.sig")
+        )
+
+    s = _sigs(src, id_col, "src_id", "svec")
+    t = _sigs(tgt, id_col, "tgt_id", "tvec")
+    cand = (
+        s.join(t, ["tbl", "sig"])
+        # a pair colliding in several tables is scored once, not T times
+        .dropDuplicates(["src_id", "tgt_id"])
+        .select(
+            "src_id",
+            "tgt_id",
+            cosine_similarity_col(F.col("svec"), F.col("tvec")).alias("cos"),
+        )
+    )
+    return _margin_select(cand, k, threshold)
+
+
+def _margin_select(pairs: DataFrame, k: int, threshold: float) -> DataFrame:
+    """Shared post-candidate stages: per-side k-NN rank, decimal-exact
+    neighbourhood means, ratio margin, mutual best-margin join, threshold.
+    `pairs` is (src_id, tgt_id, cos)."""
     w_s = Window.partitionBy("src_id").orderBy(F.desc("cos"), "tgt_id")
     w_t = Window.partitionBy("tgt_id").orderBy(F.desc("cos"), "src_id")
     ranked = (

@@ -99,3 +99,48 @@ def test_duckdb_twin_identical(spark):
     assert list(got["tgt_id"]) == list(want["tgt_id"])
     assert list(got["cosine"]) == list(want["cosine"])
     assert list(got["margin"]) == list(want["margin"])
+
+
+def test_lsh_variant_recovers_planted(spark):
+    """The scale path (mine_bitext_lsh) recovers every planted twin pair:
+    near-identical vectors collide in at least one LSH table with the
+    deterministic plane matrix, and the candidate-list margins still rank
+    the twin first on both sides."""
+    from kenlm_rs_spark.ops.bitext import mine_bitext_lsh
+
+    src, tgt = _planted()
+    out = mine_bitext_lsh(
+        _df(spark, src), _df(spark, tgt), dim=DIM, k=3, threshold=1.0,
+        n_tables=6, planes_per_table=6,
+    ).collect()
+    got = {(r["src_id"], r["tgt_id"]) for r in out}
+    assert {(i, i) for i in range(8)} <= got
+    # mutual-argmax exclusivity holds on the LSH path too
+    srcs = [r["src_id"] for r in out]
+    assert len(srcs) == len(set(srcs))
+
+
+def test_lsh_variant_deterministic(spark):
+    from kenlm_rs_spark.ops.bitext import mine_bitext_lsh
+
+    src = [(i, _vec(11, i)) for i in range(10)]
+    tgt = [(i, _vec(12, i)) for i in range(10)]
+    runs = [
+        sorted(
+            (r["src_id"], r["tgt_id"], r["cosine"], r["margin"])
+            for r in mine_bitext_lsh(
+                _df(spark, src), _df(spark, tgt), dim=DIM, k=3,
+                threshold=0.0,
+            ).collect()
+        )
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1]
+
+
+def test_lsh_validation(spark):
+    from kenlm_rs_spark.ops.bitext import mine_bitext_lsh
+
+    src, tgt = _planted(2)
+    with pytest.raises(ValueError):
+        mine_bitext_lsh(_df(spark, src), _df(spark, tgt), dim=DIM, k=0)
