@@ -62,9 +62,14 @@ def topic_tag(
     if len(set(k for k, _ in tax)) != len(tax):
         raise ValueError("duplicate keywords in taxonomy")
     spark = df.sparkSession
-    dic = F.broadcast(
-        spark.createDataFrame(list(tax), "kw string, topic string")
-    )
+    dic = spark.createDataFrame(list(tax), "kw string, topic string")
+    return _topic_tag_with_dic(df, dic, text_col, id_col)
+
+
+def _topic_tag_with_dic(
+    df: DataFrame, dic_df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    dic = F.broadcast(dic_df)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.split(
@@ -110,6 +115,31 @@ def topic_tag(
             ).alias("density"),
         )
     )
+
+
+def topic_tag_table(
+    df: DataFrame,
+    taxonomy_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kw_col: str = "kw",
+    topic_col: str = "topic",
+) -> DataFrame:
+    """Production-shaped variant: the dictionary arrives as a (kw, topic)
+    DataFrame (a parquet/Iceberg table at deployment — a million-keyword
+    taxonomy is data, not driver code). Same plan as `topic_tag`: the
+    dictionary side is broadcast (megabytes even at 10^6 keywords), the
+    corpus shuffles only on the doc_id rollup. Keywords are lowercased
+    and deduplicated here (last-writer-wins would be nondeterministic, so
+    duplicates FAIL instead — same contract as the tuple form)."""
+    dic = taxonomy_df.select(
+        F.lower(F.col(kw_col)).alias("kw"), F.col(topic_col).alias("topic")
+    ).distinct()
+    # a keyword mapping to two topics makes the argmax ill-defined
+    dup = dic.groupBy("kw").count().filter(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError("taxonomy table maps a keyword to multiple topics")
+    return _topic_tag_with_dic(df, dic, text_col, id_col)
 
 
 def topic_tag_sql(

@@ -75,3 +75,26 @@ def test_duckdb_twin_identical(spark):
         ga = got[c].astype(object).where(pd.notna(got[c]), None)
         wa = want[c].astype(object).where(pd.notna(want[c]), None)
         assert list(ga) == list(wa), c
+
+
+def test_table_variant_matches_tuple(spark):
+    from kenlm_rs_spark.ops.topics import topic_tag_table
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    tax_df = spark.createDataFrame(
+        [(k.upper(), t) for k, t in TAX], "kw string, topic string"
+    )  # table keywords arrive un-normalized; variant lowercases
+    got = sorted(map(tuple, topic_tag_table(df, tax_df).collect()))
+    want = sorted(map(tuple, topic_tag(df, TAX).collect()))
+    assert got == want
+
+
+def test_table_variant_rejects_ambiguous(spark):
+    from kenlm_rs_spark.ops.topics import topic_tag_table
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    tax_df = spark.createDataFrame(
+        [("code", "tech"), ("Code", "finance")], "kw string, topic string"
+    )
+    with pytest.raises(ValueError, match="multiple topics"):
+        topic_tag_table(df, tax_df)
