@@ -159,23 +159,28 @@ def _margin_select(pairs: DataFrame, k: int, threshold: float) -> DataFrame:
         .groupBy("tgt_id")
         .agg(F.sum(cos_dec).alias("tsum"), F.count(F.lit(1)).alias("tcnt"))
     )
+    # the ratio margin is UNDEFINED when the pooled neighbourhood mean is
+    # exactly zero (orthogonal/cancelling candidate cosines — found by the
+    # Hypothesis parity test as an ANSI division-by-zero): NULL it out, rank
+    # nulls last EXPLICITLY (Spark's desc and DuckDB's DESC default their
+    # null order differently), and let the threshold filter drop it.
+    denom = (
+        F.col("ssum").cast("double") / F.col("scnt")
+        + F.col("tsum").cast("double") / F.col("tcnt")
+    ) / F.lit(2.0)
     margin = (
         ranked.join(nn_s, "src_id")
         .join(nn_t, "tgt_id")
         .withColumn(
-            "margin",
-            F.col("cos")
-            / (
-                (
-                    F.col("ssum").cast("double") / F.col("scnt")
-                    + F.col("tsum").cast("double") / F.col("tcnt")
-                )
-                / F.lit(2.0)
-            ),
+            "margin", F.when(denom != 0.0, F.col("cos") / denom)
         )
     )
-    w_ms = Window.partitionBy("src_id").orderBy(F.desc("margin"), "tgt_id")
-    w_mt = Window.partitionBy("tgt_id").orderBy(F.desc("margin"), "src_id")
+    w_ms = Window.partitionBy("src_id").orderBy(
+        F.desc_nulls_last("margin"), "tgt_id"
+    )
+    w_mt = Window.partitionBy("tgt_id").orderBy(
+        F.desc_nulls_last("margin"), "src_id"
+    )
     fwd = (
         margin.filter(F.col("rs") <= k)
         .withColumn("mr", F.row_number().over(w_ms))
@@ -241,20 +246,27 @@ def mine_bitext_sql(
                  CAST(count(*) AS BIGINT) AS tcnt
           FROM rk WHERE rt <= {k} GROUP BY tgt_id
         ), m AS (
-          SELECT rk.*, rk.cos /
-                 ((CAST(nns.ssum AS DOUBLE) / nns.scnt +
-                   CAST(nnt.tsum AS DOUBLE) / nnt.tcnt) / 2.0) AS margin
+          SELECT rk.*,
+                 CASE WHEN ((CAST(nns.ssum AS DOUBLE) / nns.scnt +
+                             CAST(nnt.tsum AS DOUBLE) / nnt.tcnt) / 2.0)
+                           <> 0.0
+                      THEN rk.cos /
+                           ((CAST(nns.ssum AS DOUBLE) / nns.scnt +
+                             CAST(nnt.tsum AS DOUBLE) / nnt.tcnt) / 2.0)
+                 END AS margin
           FROM rk JOIN nns USING (src_id) JOIN nnt USING (tgt_id)
         ), fwd AS (
           SELECT src_id, tgt_id, cos, margin FROM (
-            SELECT *, row_number() OVER (PARTITION BY src_id
-                                         ORDER BY margin DESC, tgt_id) AS mr
+            SELECT *, row_number() OVER (
+                PARTITION BY src_id
+                ORDER BY margin DESC NULLS LAST, tgt_id) AS mr
             FROM m WHERE rs <= {k}
           ) WHERE mr = 1
         ), bwd AS (
           SELECT src_id, tgt_id FROM (
-            SELECT *, row_number() OVER (PARTITION BY tgt_id
-                                         ORDER BY margin DESC, src_id) AS mr
+            SELECT *, row_number() OVER (
+                PARTITION BY tgt_id
+                ORDER BY margin DESC NULLS LAST, src_id) AS mr
             FROM m WHERE rt <= {k}
           ) WHERE mr = 1
         )
