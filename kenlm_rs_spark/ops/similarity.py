@@ -41,7 +41,15 @@ def _norm(a):
 
 
 def cosine_similarity_col(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine, NULL for a zero-norm side. A zero embedding (dead encoder
+    output, all-padding doc) must not abort a 10-hour job: Spark 4's ANSI
+    mode RAISES on the 0/0 division (measured), while DuckDB's twin
+    expression yields NULL — by Cauchy-Schwarz a zero norm forces a zero
+    dot, so null-on-zero-denominator reproduces DuckDB's 0/0 behavior
+    exactly and downstream threshold/rank stages drop the row on both
+    engines."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom != 0.0, _dot(a, b) / denom)
 
 
 def brute_force_topk(

@@ -98,3 +98,32 @@ def test_banded_lsh_no_cartesian(emb):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zero_norm_embedding_does_not_abort(spark):
+    """A zero embedding (dead encoder output) must not kill the job under
+    Spark 4 ANSI mode: the cosine kernel yields NULL (matching DuckDB's
+    0/0) and threshold/rank stages drop the row on both engines."""
+    from pyspark.sql import functions as F
+
+    from kenlm_rs_spark.ops.similarity import (
+        brute_force_topk,
+        cosine_similarity_col,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 0.0]),   # zero vector — ANSI divide-by-zero before the fix
+        (2, [0.8, 0.6]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = df.select(
+        "vec_id",
+        cosine_similarity_col(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0))).alias("c"),
+    ).collect()
+    vals = {r["vec_id"]: r["c"] for r in got}
+    assert vals[1] is None and vals[0] == 1.0
+    # end-to-end: the zero vector ranks strictly after every real
+    # neighbour (null cosine sorts last) and never wins a top-1
+    top1 = brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=1).collect()
+    assert [r["match_id"] for r in top1] == [2]
