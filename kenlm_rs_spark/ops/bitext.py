@@ -140,8 +140,15 @@ def _margin_select(pairs: DataFrame, k: int, threshold: float) -> DataFrame:
     """Shared post-candidate stages: per-side k-NN rank, decimal-exact
     neighbourhood means, ratio margin, mutual best-margin join, threshold.
     `pairs` is (src_id, tgt_id, cos)."""
-    w_s = Window.partitionBy("src_id").orderBy(F.desc("cos"), "tgt_id")
-    w_t = Window.partitionBy("tgt_id").orderBy(F.desc("cos"), "src_id")
+    # explicit null order: a zero-norm embedding yields a NULL cosine
+    # (ops/similarity.cosine_similarity_col) — rank it last on BOTH
+    # engines rather than trusting their (coincidentally equal) defaults
+    w_s = Window.partitionBy("src_id").orderBy(
+        F.desc_nulls_last("cos"), "tgt_id"
+    )
+    w_t = Window.partitionBy("tgt_id").orderBy(
+        F.desc_nulls_last("cos"), "src_id"
+    )
     ranked = (
         pairs.withColumn("rs", F.row_number().over(w_s))
         .withColumn("rt", F.row_number().over(w_t))
@@ -229,9 +236,9 @@ def mine_bitext_sql(
         ), r AS (
           SELECT *,
                  row_number() OVER (PARTITION BY src_id
-                                    ORDER BY cos DESC, tgt_id) AS rs,
+                                    ORDER BY cos DESC NULLS LAST, tgt_id) AS rs,
                  row_number() OVER (PARTITION BY tgt_id
-                                    ORDER BY cos DESC, src_id) AS rt
+                                    ORDER BY cos DESC NULLS LAST, src_id) AS rt
           FROM p
         ), rk AS (
           SELECT * FROM r WHERE rs <= {k} OR rt <= {k}

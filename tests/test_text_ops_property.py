@@ -96,21 +96,15 @@ VEC = st.lists(
 )
 def test_bitext_parity_random_vectors(spark, svecs, tvecs):
     """The bitext margin pipeline's engine-exactness claim, probed on
-    arbitrary in-range doubles: identical mined pairs AND identical
-    round-6 cosine/margin values (bit-equal IEEE sequences, not a
-    tolerance band). Zero vectors yield NaN cosines on both sides and are
-    excluded up front (NaN ordering differs between engines)."""
-    import math
-
+    arbitrary in-range doubles INCLUDING zero/subnormal vectors: identical
+    mined pairs AND identical round-6 cosine/margin values (bit-equal IEEE
+    sequences, not a tolerance band). A zero-norm side gives NULL cosine
+    on both engines (Spark kernel guard == DuckDB 0/0), ranked last by the
+    explicit NULLS LAST in both twins."""
     from kenlm_rs_spark.ops.bitext import mine_bitext, mine_bitext_sql
 
-    def ok(v):
-        return math.sqrt(sum(x * x for x in v)) > 1e-6
-
-    srows = [(i, v) for i, v in enumerate(svecs) if ok(v)]
-    trows = [(i, v) for i, v in enumerate(tvecs) if ok(v)]
-    if not srows or not trows:
-        return
+    srows = list(enumerate(svecs))
+    trows = list(enumerate(tvecs))
     sdf = spark.createDataFrame(srows, "vec_id long, embedding array<double>")
     tdf = spark.createDataFrame(trows, "vec_id long, embedding array<double>")
     got = (
