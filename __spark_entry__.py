@@ -1090,6 +1090,17 @@ def q_ivf_ann(spark, sf_dir):
     )
 
 
+def q_sentence_stats(spark, sf_dir):
+    """Rule-based sentence segmentation stats (ops/sentences.py): frozen
+    boundary subset ([.!?]+ + spaces + upper/digit start, RE2-portable —
+    no lookahead; \\x01 sentinel insert + split), BIGINT counts + round-6
+    mean length. One codegen projection; the $N vs \\N group-ref spelling
+    is rendered per engine from ONE shared template."""
+    from kenlm_rs_spark.ops.sentences import sentence_stats
+
+    return sentence_stats(_docs(spark, sf_dir))
+
+
 def q_topic_tag(spark, sf_dir):
     """Keyword-taxonomy topic tagging (ops/topics.py): per-doc dictionary
     hit counts + min-struct dominant topic over the frozen DEFAULT_TAXONOMY
@@ -2192,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "topic_tag": q_topic_tag,
         "gif_pixel_stats": q_gif_pixel_stats,
+        "sentence_stats": q_sentence_stats,
         "pack_sequences": q_pack_sequences,
         "bloom_filter": q_bloom_filter,
         "cms_counts": q_cms_counts,
@@ -2381,6 +2393,7 @@ def oracle_sql() -> dict[str, str]:
     from kenlm_rs_spark.builder.phrase_filter import PhraseSets
     from kenlm_rs_spark.ops.bitext import mine_bitext_sql
     from kenlm_rs_spark.ops.scripts import script_profile_sql
+    from kenlm_rs_spark.ops.sentences import sentence_stats_sql
     from kenlm_rs_spark.ops.topics import topic_tag_sql
     from kenlm_rs_spark.ops.urls import (
         canonical_url_sql_expr,
@@ -3722,6 +3735,9 @@ def oracle_sql() -> dict[str, str]:
         # topic-tagging twin: rendered by ops/topics.topic_tag_sql from the
         # same frozen taxonomy (shared TOKEN_SPLIT, min-struct argmax).
         "topic_tag": topic_tag_sql("documents"),
+        # sentence-stats twin: rendered by ops/sentences.sentence_stats_sql
+        # from the shared boundary pattern + sentinel template.
+        "sentence_stats": sentence_stats_sql("documents"),
         # script-profile twin: rendered by ops/scripts.script_profile_sql
         # from the same frozen literal-range classes; identical
         # doc_id-arithmetic mixed-script suffix.

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "script_profile",
     "topic_tag",
     "gif_pixel_stats",
+    "sentence_stats",
 ]
 
 
