@@ -144,3 +144,28 @@ def test_lsh_validation(spark):
     src, tgt = _planted(2)
     with pytest.raises(ValueError):
         mine_bitext_lsh(_df(spark, src), _df(spark, tgt), dim=DIM, k=0)
+
+
+def test_zero_mean_margin_does_not_abort(spark):
+    """Mutually orthogonal vectors make every cosine exactly 0, so the
+    pooled kNN mean is exactly 0 — the ratio margin is undefined. Before
+    the guard this was a job-killing ANSI DIVIDE_BY_ZERO (found by the
+    Hypothesis parity test); now such pairs get NULL margins and nothing
+    is mined, on both engines."""
+    import duckdb as _duckdb
+
+    import pandas as _pd
+
+    from kenlm_rs_spark.ops.bitext import mine_bitext, mine_bitext_sql
+
+    src = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    tgt = [(0, [0.0, 0.0, 1.0, 0.0]), (1, [0.0, 0.0, 0.0, 1.0])]
+    out = mine_bitext(_df(spark, src), _df(spark, tgt), k=2, threshold=0.0)
+    assert out.collect() == []
+    con = _duckdb.connect()
+    con.register("s_raw", _pd.DataFrame(src, columns=["vec_id", "embedding"]))
+    con.register("t_raw", _pd.DataFrame(tgt, columns=["vec_id", "embedding"]))
+    con.execute("CREATE VIEW s AS SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM s_raw")
+    con.execute("CREATE VIEW t AS SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM t_raw")
+    assert con.execute(mine_bitext_sql("s", "t", k=2, threshold=0.0)).fetchall() == []
+    con.close()
