@@ -1,7 +1,11 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
-local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS]. Prints ONE SHORT JSON line (guaranteed to fit
+the driver's 2000-char stdout tail window whole):
   {"metric": "filter_docs_per_sec", "value": N, "unit": "docs/sec",
-   "queries": {name: sec, ...}, "sf": ..., "docs": N, ...}
+   "queries": {slowest 12}, "queries_full": "BENCH/queries_latest.json",
+   "sf": ..., "docs": N, ...}
+The complete per-query map (all 102 queries) is written to
+BENCH/queries_latest.json, which is committed per round.
 
 The headline metric is the CCNet-style filter pipeline throughput
 (docs/sec) over the documents table — scrub + heuristics + KenLM
@@ -215,7 +219,38 @@ def main():
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+
+    # The driver's BENCH artifact keeps only the LAST 2000 chars of stdout
+    # and parses a JSON line out of them (BENCH_r05 recorded parsed:null
+    # because the single line with 101 per-query times exceeded the window
+    # and lost its front, including "metric"/"value").  VERDICT r5 item 2:
+    # the full per-query map goes to a committed file; stdout carries ONE
+    # short headline line — guaranteed to fit the window whole — whose
+    # "queries" field holds the slowest queries only, plus a pointer to
+    # the full map.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    full_path = os.path.join(bench_dir, "queries_latest.json")
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if v > 0),
+            key=lambda kv: -kv[1],
+        )[:12]
+    )
+    headline = dict(out)
+    headline["queries"] = slowest
+    headline["queries_full"] = "BENCH/queries_latest.json"
+    headline["n_queries"] = len(BENCH_QUERIES)
+    if errors:
+        headline["errors"] = {k: v[:60] for k, v in list(errors.items())[:3]}
+    line = json.dumps(headline, separators=(",", ":"))
+    while len(line) > 1500 and headline["queries"]:
+        headline["queries"].popitem()
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
