@@ -139,6 +139,29 @@ def test_url_dedup_first_wins(spark):
     assert got == {3: True, 7: False, 10: False, 5: True}
 
 
+def test_url_dedup_plan_compiles_codegen(spark):
+    """Regression for VERDICT r5 item 3: the url_dedup plan used to blow
+    janino's method limit (the join keyed on the derived canon_url pushed
+    an isnotnull(canon_url) constraint — with the entire canonicalization
+    expression substituted in — down to the scan as one giant Filter) and
+    silently fell back to interpreted execution.  With
+    spark.sql.codegen.fallback=false a compile failure RAISES instead of
+    falling back, so plain successful execution proves every stage of the
+    plan whole-stage-compiles."""
+    from kenlm_rs_spark.ops.urls import url_dedup
+
+    rows = [(i, f"https://site{i % 7}.example.com/p/{i % 11}?utm_source=x") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        out = url_dedup(df)
+        assert out.count() == 100
+        assert out.filter("is_canonical").count() == 77
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+
+
 def test_blocklist_filter_broadcast_and_semantics(spark):
     from kenlm_rs_spark.ops.urls import blocklist_filter
 
