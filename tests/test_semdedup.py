@@ -65,3 +65,54 @@ def test_deterministic(spark, corpus):
     a = sorted(map(tuple, semdedup(corpus, 0.95).collect()))
     b = sorted(map(tuple, semdedup(corpus, 0.95).collect()))
     assert a == b
+
+
+def test_hot_cluster_cap_bounds_candidates(spark):
+    """VERDICT r5 item 5: a mass-duplicated template (every vector in ONE
+    cluster, all near-identical) must not make the self-join O(|c|^2).
+    With max_candidates=k the comparison side holds exactly min(k, |c|)
+    rows per cluster, and on this degenerate fixture the capped result is
+    EXACT (every later vector matches the cluster's min id, which is
+    always inside the candidate prefix)."""
+    from kenlm_rs_spark.ops.semdedup import cluster_candidates
+    from kenlm_rs_spark.ops.similarity import (
+        best_cluster_col,
+        sampled_centroid_array,
+    )
+
+    n, k = 60, 4
+    rows = [(i, [1.0, float(i) * 1e-9]) for i in range(n)]
+    corpus = _vecs(spark, rows)
+
+    cent = sampled_centroid_array(corpus, 37, "vec_id", "embedding")
+    assigned = corpus.select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("vec")
+    ).withColumn("cluster", best_cluster_col(cent, F.col("vec")))
+    per_cluster = (
+        cluster_candidates(assigned, k)
+        .groupBy("b_cluster")
+        .count()
+        .collect()
+    )
+    assert per_cluster and all(r["count"] <= k for r in per_cluster)
+
+    capped = sorted(
+        map(tuple, semdedup(corpus, 0.95, max_candidates=k).collect())
+    )
+    exact = sorted(map(tuple, semdedup(corpus, 0.95).collect()))
+    assert capped == exact
+    kept = [t for t in capped if t[3]]
+    assert len(kept) == 1 and kept[0][0] == 0  # min id survives
+
+
+def test_cap_large_enough_matches_exact(spark, corpus):
+    got = sorted(
+        map(tuple, semdedup(corpus, 0.95, max_candidates=100).collect())
+    )
+    want = sorted(map(tuple, semdedup(corpus, 0.95).collect()))
+    assert got == want
+
+
+def test_cap_validation(spark, corpus):
+    with pytest.raises(ValueError):
+        semdedup(corpus, 0.95, max_candidates=0).collect()
