@@ -123,6 +123,99 @@ def test_registered_domain_psl(spark):
     assert got == want
 
 
+def test_registered_domain_psl_wildcard_exception_rules(spark):
+    """Full PSL rule algebra (VERDICT r5 item 6): wildcard rules
+    (*.kawasaki.jp, *.sch.uk, *.ck) keep TWO labels above the base,
+    exception rules (!city.kawasaki.jp, !www.ck) are themselves the
+    registered domain, 3-label explicit entries (k12.fl.us) beat their
+    2-label parents (fl.us), and .jp prefecture suffixes hold. Spark and
+    DuckDB render the identical constants."""
+    import duckdb as _dd
+
+    from kenlm_rs_spark.ops.urls import (
+        registered_domain,
+        registered_domain_sql_expr,
+    )
+
+    cases = [
+        # wildcard *.kawasaki.jp: <anything>.kawasaki.jp is a public suffix
+        ("https://blog.igawa.kawasaki.jp/p", "kawasaki.jp", "blog.igawa.kawasaki.jp"),
+        ("https://a.blog.igawa.kawasaki.jp/p", "kawasaki.jp", "blog.igawa.kawasaki.jp"),
+        # exception !city.kawasaki.jp: that name IS the registered domain
+        ("https://city.kawasaki.jp/", "kawasaki.jp", "city.kawasaki.jp"),
+        ("https://www.city.kawasaki.jp/", "kawasaki.jp", "city.kawasaki.jp"),
+        # wildcard *.sch.uk: schools sit two labels above sch.uk
+        ("https://school.lincs.sch.uk/x", "sch.uk", "school.lincs.sch.uk"),
+        ("https://www.school.lincs.sch.uk/x", "sch.uk", "school.lincs.sch.uk"),
+        # whole-TLD wildcard *.ck and its exception !www.ck
+        ("https://shop.anything.ck/", "anything.ck", "shop.anything.ck"),
+        ("https://www.ck/", "www.ck", "www.ck"),
+        ("https://a.www.ck/", "www.ck", "www.ck"),
+        # 3-label explicit k12.fl.us beats 2-label fl.us (longest wins)
+        ("https://school.k12.fl.us/", "fl.us", "school.k12.fl.us"),
+        ("https://example.fl.us/", "fl.us", "example.fl.us"),
+        # .jp prefecture 2-label suffix
+        ("https://city.chiba.jp/", "chiba.jp", "city.chiba.jp"),
+        # unaffected plain host
+        ("https://www.example.com/", "example.com", "example.com"),
+    ]
+    urls = [c[0] for c in cases]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    got = {
+        r["i"]: (r["naive"], r["psl"])
+        for r in df.select(
+            "i",
+            registered_domain(F.col("url")).alias("naive"),
+            registered_domain(F.col("url"), psl=True).alias("psl"),
+        ).collect()
+    }
+    for i, (_, naive, psl) in enumerate(cases):
+        assert got[i] == (naive, psl), (i, cases[i], got[i])
+    con = _dd.connect()
+    con.execute("CREATE TABLE u(i BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?, ?)", list(enumerate(urls)))
+    want = {
+        i: (n, p)
+        for i, n, p in con.sql(
+            f"SELECT i, {registered_domain_sql_expr('url')} AS n, "
+            f"{registered_domain_sql_expr('url', psl=True)} AS p FROM u"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_registered_domain_psl_extras(spark):
+    """Deployment hook: the full dated PSL dump flows in as extra rules."""
+    from kenlm_rs_spark.ops.urls import registered_domain
+
+    df = spark.createDataFrame(
+        [
+            (0, "https://foo.example.nom.br/"),
+            (1, "https://x.web.example.zm/"),
+            (2, "https://keep.me.custom.test/"),
+        ],
+        "i long, url string",
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i",
+            registered_domain(
+                F.col("url"),
+                psl=True,
+                extra_suffixes=("nom.br",),
+                extra_wildcards=("zm",),
+                extra_exceptions=("keep.me.custom.test",),
+            ).alias("d"),
+        ).collect()
+    }
+    assert got[0] == "example.nom.br"
+    assert got[1] == "web.example.zm"
+    assert got[2] == "keep.me.custom.test"
+
+
 def test_url_dedup_first_wins(spark):
     from kenlm_rs_spark.ops.urls import url_dedup
 
