@@ -708,6 +708,56 @@ def q_gif_pixel_stats(spark, sf_dir):
     )
 
 
+def q_jpeg_pixel_stats(spark, sf_dir):
+    """REAL baseline JPEG pixel decode (VERDICT r5 item 4 — retires the
+    JPEG NotImplementedError): per doc_id a valid SOF0 JPEG
+    (ops/imagegen.make_jpeg_patterned — real canonical-Huffman entropy
+    encoding, all-ones quant tables, 4:4:4 or 4:2:0, some streams with DRI
+    restart markers) is synthesized on executors and decoded by the full
+    general decoder (ops/multimodal._decode_jpeg: marker parse, Huffman,
+    dequant, zigzag, float64 IDCT, chroma upsample, JFIF YCbCr->RGB).
+    Blocks are CONSTANT-valued, so decode is bit-exact predictable: the
+    oracle recomputes every RGB pixel from jpeg_block_value arithmetic +
+    the shared JPEG_*-string color constants, never touching bytes."""
+    import pandas as pd
+
+    from kenlm_rs_spark.ops.imagegen import make_jpeg_patterned
+    from kenlm_rs_spark.ops.multimodal import image_pixel_stats
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                payloads.append(
+                    make_jpeg_patterned(
+                        16 * (1 + i % 3),
+                        16 * (1 + (i % 5) % 3),
+                        "444" if i % 2 == 0 else "420",
+                        restart_interval=2 if i % 3 == 1 else 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+    return image_pixel_stats(payloads).select(
+        "doc_id",
+        "format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        F.round("aspect", 9).alias("aspect"),
+        F.round("mean_c0", 9).alias("mean_c0"),
+        F.round("mean_c1", 9).alias("mean_c1"),
+        F.round("mean_c2", 9).alias("mean_c2"),
+        F.col("px_min").cast("long").alias("px_min"),
+        F.col("px_max").cast("long").alias("px_max"),
+        F.round("entropy_bits", 6).alias("entropy_bits"),
+    )
+
+
 def q_image_pooled_features(spark, sf_dir):
     """REAL resize + feature-extract (the brief's image feature kernel,
     honest edition): decode patterned payloads, grayscale, average-pool to
@@ -2195,7 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_calibration": q_classifier_calibration,
         "boilerplate_removal": q_boilerplate_removal,
         "filter_ablation": q_filter_ablation,
-        # position 50 reserved for the r6 JPEG gate row (VERDICT r5 item 4)
+        "jpeg_pixel_stats": q_jpeg_pixel_stats,  # new in r6 (VERDICT item 4)
         # --- near-twin variants parked for the r7 window ---
         "temperature_sample_a07": q_temperature_sample_a07,
         "token_budget_mix_2p": q_token_budget_mix_2p,
@@ -2262,6 +2312,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 from kenlm_rs_spark.ops.drift import psi_term_sql_expr as _psi_term_sql_expr
 
 _PSI_TERM = _psi_term_sql_expr()
+
+# Shared JFIF color-conversion constants (ops/multimodal.py): the SAME
+# literal strings numpy parses with float() render into the jpeg oracle
+# with ::DOUBLE casts — identical IEEE doubles in both engines.
+from kenlm_rs_spark.ops.multimodal import (
+    JPEG_B_CB as _JPEG_B_CB,
+    JPEG_G_CB as _JPEG_G_CB,
+    JPEG_G_CR as _JPEG_G_CR,
+    JPEG_R_CR as _JPEG_R_CR,
+)
 
 
 def _classifier_calibration_oracle_sql() -> str:
@@ -3465,6 +3525,73 @@ def oracle_sql() -> dict[str, str]:
               FROM px GROUP BY 1
             )
             SELECT d.doc_id, 'gif' AS format,
+                   CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+                   CAST(3 AS BIGINT) AS channels,
+                   round(CAST(d.w AS DOUBLE) / d.h, 9) AS aspect,
+                   max(CASE WHEN cm.chan = 0 THEN cm.m END) AS mean_c0,
+                   max(CASE WHEN cm.chan = 1 THEN cm.m END) AS mean_c1,
+                   max(CASE WHEN cm.chan = 2 THEN cm.m END) AS mean_c2,
+                   CAST(mm.px_min AS BIGINT) AS px_min,
+                   CAST(mm.px_max AS BIGINT) AS px_max,
+                   ent.entropy_bits
+            FROM dims d
+            JOIN cm ON cm.doc_id = d.doc_id
+            JOIN mm ON mm.doc_id = d.doc_id
+            JOIN ent ON ent.doc_id = d.doc_id
+            GROUP BY d.doc_id, d.w, d.h, mm.px_min, mm.px_max,
+                     ent.entropy_bits
+        """,
+        # JPEG pixel-decode twin: constant-per-block planes make the DC-only
+        # decode bit-exact, so every RGB pixel is pure doc_id arithmetic:
+        # Y/Cb/Cr from jpeg_block_value (block coords x//8; chroma region
+        # x//s with s=8 for 4:4:4, 16 for 4:2:0) through the SHARED
+        # JPEG_*-string color constants with ::DOUBLE casts (DuckDB parses
+        # bare decimals as DECIMAL — the cast forces the identical IEEE
+        # doubles numpy uses). floor(x+0.5)+clamp matches the decoder.
+        "jpeg_pixel_stats": f"""
+            WITH dims AS (
+              SELECT doc_id,
+                     16 * (1 + doc_id % 3) AS w,
+                     16 * (1 + (doc_id % 5) % 3) AS h,
+                     CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS s
+              FROM documents
+            ), ycc AS MATERIALIZED (
+              SELECT d.doc_id, d.w, d.h,
+                     CAST((7 * (x.range // 8) + 13 * (y.range // 8)) % 256
+                          AS DOUBLE) AS yv,
+                     CAST((11 * (x.range // d.s) + 17 * (y.range // d.s) + 8)
+                          % 256 AS DOUBLE) - 128.0 AS cbm,
+                     CAST((5 * (x.range // d.s) + 19 * (y.range // d.s) + 16)
+                          % 256 AS DOUBLE) - 128.0 AS crm
+              FROM dims d, range(0, 48) x, range(0, 48) y
+              WHERE x.range < d.w AND y.range < d.h
+            ), px AS MATERIALIZED (
+              SELECT doc_id, c.range AS chan,
+                     CAST(GREATEST(0.0, LEAST(255.0, CASE c.range
+                       WHEN 0 THEN floor(yv + {_JPEG_R_CR}::DOUBLE * crm + 0.5)
+                       WHEN 1 THEN floor(yv - {_JPEG_G_CB}::DOUBLE * cbm
+                                         - {_JPEG_G_CR}::DOUBLE * crm + 0.5)
+                       ELSE floor(yv + {_JPEG_B_CB}::DOUBLE * cbm + 0.5)
+                     END)) AS BIGINT) AS v
+              FROM ycc, range(0, 3) c
+            ), cm AS (
+              SELECT doc_id, chan,
+                     round(CAST(sum(v) AS DOUBLE) / count(*), 9) AS m
+              FROM px GROUP BY 1, 2
+            ), hist AS (
+              SELECT doc_id, v, count(*) AS cnt FROM px GROUP BY 1, 2
+            ), ent AS (
+              SELECT hist.doc_id,
+                     round(-sum((CAST(cnt AS DOUBLE) / (d.w * d.h * 3))
+                           * log2(CAST(cnt AS DOUBLE) / (d.w * d.h * 3))), 6)
+                       AS entropy_bits
+              FROM hist JOIN dims d ON d.doc_id = hist.doc_id
+              GROUP BY 1, d.w, d.h
+            ), mm AS (
+              SELECT doc_id, min(v) AS px_min, max(v) AS px_max
+              FROM px GROUP BY 1
+            )
+            SELECT d.doc_id, 'jpeg' AS format,
                    CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
                    CAST(3 AS BIGINT) AS channels,
                    round(CAST(d.w AS DOUBLE) / d.h, 9) AS aspect,

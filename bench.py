@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "topic_tag",
     "gif_pixel_stats",
     "sentence_stats",
+    # added r06
+    "jpeg_pixel_stats",
 ]
 
 

@@ -326,3 +326,228 @@ def make_mp4(
     )
     moov = box(b"moov", mvhd + box(b"trak", tkhd))
     return ftyp + moov
+
+
+# ------------------------------------------------------------------ JPEG
+# REAL baseline-sequential JPEG encoder for the constant-block pattern
+# (VERDICT r5 item 4). Written FORWARD, independently of the decoder in
+# ops/multimodal._decode_jpeg (roundtrip-tested, the GIF LZW discipline).
+#
+# Why constant 8x8 blocks: for a block whose spatial samples all equal v,
+# the T.81 FDCT is DC-only with DC = 8*(v-128); with all-ones quant tables
+# the coefficient survives quantization exactly, and ANY correct float64
+# IDCT reproduces v to ~1e-13 before the +0.5 floor - so the decode is
+# BIT-exact predictable from the block pattern alone, while the decoder
+# still runs its full general path (marker parse, canonical Huffman,
+# dequant, zigzag, IDCT, upsample, color convert). The SQL oracle
+# recomputes every pixel from doc_id arithmetic without touching bytes
+# (the ops/imagegen arithmetic-oracle pattern).
+
+# canonical DC Huffman table (T.81 Annex K.3.1, public): categories 0..11
+JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+JPEG_DC_VALS = bytes(range(12))
+# compact valid AC table: EOB, (run,size) 01/11/02/21/12/31, ZRL - enough
+# for DC-only streams plus the AC/ZRL decode paths the tests exercise
+JPEG_AC_BITS = [0, 2, 1, 5, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+JPEG_AC_VALS = bytes(
+    [0x00, 0x01, 0x11, 0xF0, 0x02, 0x21, 0x12, 0x31, 0x22, 0x32]
+)
+
+
+def _jpeg_codes(bits: list[int], vals: bytes) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical assignment (T.81 Annex C)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with 0xFF byte stuffing; pads the tail with 1s
+    (T.81 F.1.2.3)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _dht_segment(tc: int, th: int, bits: list[int], vals: bytes) -> bytes:
+    body = bytes([(tc << 4) | th]) + bytes(bits) + vals
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _encode_block_dc(
+    w: "_JpegBitWriter", dc: int, pred: int,
+    dc_codes: dict, ac_codes: dict, ac_coefs=None,
+) -> int:
+    """Encode one block: DC diff (category + magnitude bits) then AC
+    (run,size) symbols from the sparse {zigzag_index: value} dict (default
+    empty = immediate EOB). Returns the new DC predictor."""
+    diff = dc - pred
+    t = abs(diff).bit_length()
+    code, ln = dc_codes[t]
+    w.write(code, ln)
+    if t:
+        v = diff if diff >= 0 else diff + (1 << t) - 1
+        w.write(v, t)
+    coefs = ac_coefs or {}
+    k = 1
+    for idx in sorted(coefs):
+        run = idx - k
+        while run >= 16:
+            zc, zl = ac_codes[0xF0]
+            w.write(zc, zl)
+            run -= 16
+        val = coefs[idx]
+        s = abs(val).bit_length()
+        c, ln2 = ac_codes[(run << 4) | s]
+        w.write(c, ln2)
+        v = val if val >= 0 else val + (1 << s) - 1
+        w.write(v, s)
+        k = idx + 1
+    if k < 64:
+        ec, el = ac_codes[0x00]
+        w.write(ec, el)
+    return dc
+
+
+def jpeg_block_value(bx: int, by: int, comp: int) -> int:
+    """Constant sample value of block (bx, by) of component comp — the
+    shared arithmetic the SQL oracle recomputes (comp 0=Y, 1=Cb, 2=Cr)."""
+    if comp == 0:
+        return (7 * bx + 13 * by) % 256
+    if comp == 1:
+        return (11 * bx + 17 * by + 8) % 256
+    return (5 * bx + 19 * by + 16) % 256
+
+
+def make_jpeg_patterned(
+    w: int, h: int, subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
+    """Valid baseline-sequential JPEG (SOI/DQT/DHT/SOF0/[DRI]/SOS/EOI) with
+    all-ones quant tables and constant-per-block planes from
+    jpeg_block_value. ``subsampling`` is '444' (chroma blocks cover 8x8
+    pixels) or '420' (2x2 Y blocks per MCU, chroma blocks cover 16x16
+    pixels). Dims must be multiples of 16 so MCU edges never crop."""
+    if w % 16 or h % 16:
+        raise ValueError("make_jpeg_patterned needs dims that are multiples of 16")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    hv_y = 0x22 if subsampling == "420" else 0x11
+
+    dqt = (
+        b"\xff\xdb" + struct.pack(">H", 2 + 2 * 65)
+        + b"\x00" + bytes([1] * 64) + b"\x01" + bytes([1] * 64)
+    )
+    dht = (
+        _dht_segment(0, 0, JPEG_DC_BITS, JPEG_DC_VALS)
+        + _dht_segment(1, 0, JPEG_AC_BITS, JPEG_AC_VALS)
+        + _dht_segment(0, 1, JPEG_DC_BITS, JPEG_DC_VALS)
+        + _dht_segment(1, 1, JPEG_AC_BITS, JPEG_AC_VALS)
+    )
+    sof_body = struct.pack(">BHHB", 8, h, w, 3) + b"".join(
+        struct.pack(">BBB", cid, hv, tq)
+        for cid, hv, tq in ((1, hv_y, 0), (2, 0x11, 1), (3, 0x11, 1))
+    )
+    sof0 = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    dri = (
+        b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        if restart_interval
+        else b""
+    )
+    sos_body = b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00"
+    sos = b"\xff\xda" + struct.pack(">H", 2 + len(sos_body)) + sos_body
+
+    dc_codes = _jpeg_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_codes = _jpeg_codes(JPEG_AC_BITS, JPEG_AC_VALS)
+
+    def dc_of(comp: int, bx: int, by: int) -> int:
+        return 8 * (jpeg_block_value(bx, by, comp) - 128)
+
+    scan = bytearray()
+    writer = _JpegBitWriter()
+    pred = [0, 0, 0]
+    if subsampling == "420":
+        mcus_x, mcus_y = w // 16, h // 16
+    else:
+        mcus_x, mcus_y = w // 8, h // 8
+    rst = 0
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu > 0 and mcu % restart_interval == 0:
+            scan += writer.flush()
+            scan += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            writer = _JpegBitWriter()
+            pred = [0, 0, 0]
+        my, mx = divmod(mcu, mcus_x)
+        if subsampling == "420":
+            for dy in range(2):
+                for dx in range(2):
+                    pred[0] = _encode_block_dc(
+                        writer, dc_of(0, 2 * mx + dx, 2 * my + dy), pred[0],
+                        dc_codes, ac_codes,
+                    )
+            for comp in (1, 2):
+                pred[comp] = _encode_block_dc(
+                    writer, dc_of(comp, mx, my), pred[comp], dc_codes, ac_codes
+                )
+        else:
+            for comp in (0, 1, 2):
+                pred[comp] = _encode_block_dc(
+                    writer, dc_of(comp, mx, my), pred[comp], dc_codes, ac_codes
+                )
+    scan += writer.flush()
+    return (
+        b"\xff\xd8" + dqt + dht + sof0 + dri + sos + bytes(scan) + b"\xff\xd9"
+    )
+
+
+def make_jpeg_gray_coeffs(coefs: dict[int, int]) -> bytes:
+    """Single-block grayscale baseline JPEG whose one 8x8 block carries the
+    given sparse {zigzag_index: coefficient} map (DC at index 0) — lets
+    tests exercise the decoder's AC run/size, ZRL and EXTEND paths against
+    an independently computed IDCT."""
+    dqt = b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + bytes([1] * 64)
+    dht = (
+        _dht_segment(0, 0, JPEG_DC_BITS, JPEG_DC_VALS)
+        + _dht_segment(1, 0, JPEG_AC_BITS, JPEG_AC_VALS)
+    )
+    sof_body = struct.pack(">BHHB", 8, 8, 8, 1) + struct.pack(">BBB", 1, 0x11, 0)
+    sof0 = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    sos_body = b"\x01" + b"\x01\x00" + b"\x00\x3f\x00"
+    sos = b"\xff\xda" + struct.pack(">H", 2 + len(sos_body)) + sos_body
+    dc_codes = _jpeg_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_codes = _jpeg_codes(JPEG_AC_BITS, JPEG_AC_VALS)
+    writer = _JpegBitWriter()
+    ac = {k: v for k, v in coefs.items() if k != 0}
+    _encode_block_dc(writer, coefs.get(0, 0), 0, dc_codes, ac_codes, ac)
+    return b"\xff\xd8" + dqt + dht + sof0 + sos + writer.flush() + b"\xff\xd9"

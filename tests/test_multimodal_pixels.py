@@ -60,17 +60,20 @@ def test_decode_hand_golden_sub_filter():
 
 
 def test_codec_boundaries_raise():
-    """JPEG/WEBP pixel paths are the declared NotImplementedError boundary
-    (true entropy codecs); header metadata still parses. The legacy
-    1-pixel-stream GIF (make_gif) now hits the REAL LZW decoder and fails
-    honestly as truncated (ValueError), keeping stats rows 'undecodable'."""
+    """WEBP is the remaining declared NotImplementedError boundary (true
+    entropy codec); header metadata still parses. Baseline JPEG decodes
+    for REAL now (r6), so the legacy header-only JPEG stream (make_jpeg,
+    no SOS) fails honestly as a corrupt container (ValueError), like the
+    legacy 1-pixel-stream GIF — stats rows stay 'undecodable'."""
     from kenlm_rs_spark.ops.imagegen import make_gif, make_jpeg, make_webp_vp8l
     from kenlm_rs_spark.ops.multimodal import decode_pixels, parse_image_header
 
-    for payload in (make_jpeg(4, 3), make_webp_vp8l(4, 3)):
-        assert parse_image_header(payload) is not None
-        with pytest.raises(NotImplementedError):
-            decode_pixels(payload)
+    assert parse_image_header(make_webp_vp8l(4, 3)) is not None
+    with pytest.raises(NotImplementedError):
+        decode_pixels(make_webp_vp8l(4, 3))
+    assert parse_image_header(make_jpeg(4, 3)) is not None
+    with pytest.raises(ValueError, match="SOS"):
+        decode_pixels(make_jpeg(4, 3))
     assert parse_image_header(make_gif(4, 3)) is not None
     with pytest.raises(ValueError, match="truncated"):
         decode_pixels(make_gif(4, 3))
