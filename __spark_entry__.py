@@ -1270,6 +1270,30 @@ def q_bpe_merges(spark, sf_dir):
     )
 
 
+def q_bpe_encode(spark, sf_dir):
+    """BPE segmentation with a trained merge table (ops/bpe.py::bpe_segment
+    — ONE narrow Arrow stage, merges ship as a model-sized closure,
+    per-distinct-word memoization inside each batch): the merges are the
+    frozen sequential-trainer fixture (tools/freeze_bpe.py) and the oracle
+    is the SEQUENTIAL segmenter's per-doc output frozen next to it — a full
+    cross-implementation check of merge-replay semantics, the same pattern
+    as perplexity_docs."""
+    from kenlm_rs_spark.ops.bpe import bpe_segment
+
+    merges_rows = (
+        spark.read.parquet(os.path.join(ORACLE_DIR, "bpe_merges.parquet"))
+        .orderBy("merge_rank")
+        .collect()
+    )
+    merges = [(r["lhs"], r["rhs"], int(r["pair_count"])) for r in merges_rows]
+    seg = bpe_segment(_docs(spark, sf_dir), merges)
+    return seg.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_subwords"),
+        F.md5(F.array_join("bpe_tokens", "\x1f")).alias("seg_md5"),
+    )
+
+
 def q_inverted_index(spark, sf_dir):
     """Full-text inverted index (ops/search.py): term -> document
     frequency + the sorted posting list, surfaced as a 'doc:tf,...' string
@@ -1895,6 +1919,22 @@ def q_pagerank(spark, sf_dir):
     return pagerank(_synth_edges(docs), n_iter=5, damping=0.85)
 
 
+def q_pagerank_dangling(spark, sf_dir):
+    """PageRank with dangling-mass redistribution (ops/graph.py::pagerank,
+    dangling="redistribute" — Page et al. 1999 §2.7): out-edges of pages
+    with src % 11 == 3 are dropped (simulating link-filtered pages) so real
+    dangling nodes exist; each iteration folds their mass back uniformly
+    via ONE broadcast scalar (node-sized anti-join aggregate — the edge
+    table is untouched, so the 100 TB shape matches the base row). Ranks
+    sum to 1 up to round-9 truncation; the oracle unrolls the same updates
+    with a per-iteration dangling CTE."""
+    from kenlm_rs_spark.ops.graph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    e = _synth_edges(docs).filter((F.col("src") % 11) != 3)
+    return pagerank(e, n_iter=5, damping=0.85, dangling="redistribute")
+
+
 # ---- r04 web-pipeline additions: URLs, clusters, mixing, normalization ----
 
 # NFC probe appended to the (ASCII) documents text so the normalization row
@@ -2302,6 +2342,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_pattern_filter": q_url_pattern_filter,
         "corpus_report": q_corpus_report,
         "winnow_fingerprints": q_winnow_fingerprints,
+        # --- new in r6 (post-rotation): rotate into the r7 window ---
+        "bpe_encode": q_bpe_encode,
+        "pagerank_dangling": q_pagerank_dangling,
     }
 
 
@@ -2439,6 +2482,66 @@ def _pagerank_oracle_sql(n_iter: int, damping: float = 0.85) -> str:
                 JOIN it{k - 1} r ON r.node = e.src
                 JOIN odeg od ON od.src = e.src
                 GROUP BY e.dst
+              ) c ON c.dst = nodes.node
+            )"""
+    return sql + f"""
+            SELECT node, rank FROM it{n_iter}
+        """
+
+
+def _pagerank_dangling_oracle_sql(n_iter: int, damping: float = 0.85) -> str:
+    """Unrolled SQL twin of ops/graph.pagerank(dangling="redistribute") over
+    the src % 11 <> 3 filtered edge set: N comes from the FILTERED node set
+    (matching nodes.count() in Spark), and each iteration adds a dangling
+    CTE — an aggregate without GROUP BY (always exactly one row, even with
+    zero dangling nodes) computing ds = round(Σ rank::DECIMAL(38,9) over
+    out-degree-0 nodes / N, 9), folded into the update as
+    damping * (contrib + ds). Identical round-9 / DECIMAL(38,9) discipline
+    as the base twin."""
+    d = f"{damping}::DOUBLE"
+    sql = _EDGES_SQL + """
+            , ef AS MATERIALIZED (
+              SELECT src, dst FROM e WHERE src % 11 <> 3
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM ef
+                UNION ALL SELECT dst AS node FROM ef
+              )
+            ), nv AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(*) AS DOUBLE) AS nd
+              FROM nodes
+            ), odeg AS (
+              SELECT src, CAST(count(*) AS BIGINT) AS out_deg
+              FROM ef GROUP BY src
+            ), it0 AS (
+              SELECT node, round(1.0::DOUBLE / nv.nd, 9) AS rank
+              FROM nodes CROSS JOIN nv
+            )"""
+    for k in range(1, n_iter + 1):
+        sql += f"""
+            , dang{k} AS (
+              SELECT round(CAST(COALESCE(sum(CAST(r.rank AS DECIMAL(38,9))),
+                                         CAST(0 AS DECIMAL(38,9))) AS DOUBLE)
+                           / (SELECT nd FROM nv), 9) AS ds
+              FROM it{k - 1} r
+              LEFT JOIN odeg od ON od.src = r.node
+              WHERE od.src IS NULL
+            ), it{k} AS (
+              SELECT nodes.node,
+                     round((1.0::DOUBLE - {d}) / nv.nd
+                           + {d} * (COALESCE(CAST(c.s AS DOUBLE), 0.0::DOUBLE)
+                                    + dang{k}.ds),
+                           9) AS rank
+              FROM nodes CROSS JOIN nv CROSS JOIN dang{k}
+              LEFT JOIN (
+                SELECT ef.dst,
+                       sum(CAST(round(r.rank / od.out_deg, 9)
+                           AS DECIMAL(38,9))) AS s
+                FROM ef
+                JOIN it{k - 1} r ON r.node = ef.src
+                JOIN odeg od ON od.src = ef.src
+                GROUP BY ef.dst
               ) c ON c.dst = nodes.node
             )"""
     return sql + f"""
@@ -4027,6 +4130,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT merge_rank, lhs, rhs, pair_count
             FROM read_parquet('{ORACLE_DIR}/bpe_merges.parquet')
         """,
+        # frozen sequential-segmenter twin (tools/freeze_bpe.py)
+        "bpe_encode": f"""
+            SELECT doc_id, n_subwords, seg_md5
+            FROM read_parquet('{ORACLE_DIR}/bpe_segments.parquet')
+        """,
         # Inverted-index twin: per-(doc,term) tf, postings string_agg
         # ordered by doc_id (doc_id unique per term, so the order matches
         # Spark's sort_array over (doc_id, tf) structs).
@@ -4147,6 +4255,7 @@ def oracle_sql() -> dict[str, str]:
             FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
         """,
         "pagerank": _pagerank_oracle_sql(n_iter=5),
+        "pagerank_dangling": _pagerank_dangling_oracle_sql(n_iter=5),
         # arithmetic reconstruction of every WARC field the parser must
         # recover — the parser walks real bytes, the oracle never builds
         # them (only the strings the bytes were made from).

@@ -25,8 +25,17 @@ contribution is round(rank/out_deg, 9) cast DECIMAL(38,9) BEFORE the sum,
 so the per-destination aggregation is order-independent and bit-equal
 across engines; the new rank is round(base + damping*sum, 9) — one
 IEEE-exact add/multiply chain on already-rounded values. Dangling-node
-mass (out_deg = 0) is dropped, the standard map-reduce simplification;
-ranks then sum to < 1 but the ordering signal is unchanged.
+mass (out_deg = 0) is dropped by default, the standard map-reduce
+simplification; ranks then sum to < 1 but the ordering signal is
+unchanged. ``dangling="redistribute"`` instead folds the dangling mass
+back uniformly each iteration (Page et al. 1999 §2.7's strongly-preferred
+variant when rank VALUES are consumed absolutely, not just the order):
+dsum = Σ over out_deg-0 nodes of rank::DECIMAL(38,9) (exact — ranks are
+already round-9 doubles), ds = round(dsum::DOUBLE / N, 9) — ONE scalar per
+iteration, broadcast via a 1-row cross join — and the update becomes
+round(base/N + damping*(contrib + ds), 9). Ranks then sum to 1 up to
+round-9 truncation. Cost: one extra node-sized anti-join aggregate per
+iteration; the edge table is untouched, so the 100 TB shape is identical.
 """
 
 from __future__ import annotations
@@ -85,13 +94,18 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint: bool = True,
+    dangling: str = "drop",
 ) -> DataFrame:
     """(node, rank) after ``n_iter`` synchronous iterations from the
     uniform start round(1/N, 9). See module docstring for the exact
     arithmetic contract (shared with the unrolled SQL twin,
-    __spark_entry__.pagerank_iter_sql)."""
+    __spark_entry__.pagerank_iter_sql). ``dangling``: "drop" (default)
+    loses the mass of out-degree-0 nodes; "redistribute" folds it back
+    uniformly each iteration (scalar cross join — see module docstring)."""
     if n_iter < 0:
         raise ValueError("n_iter must be >= 0")
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError("dangling must be 'drop' or 'redistribute'")
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     ).distinct()
@@ -121,17 +135,51 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = nodes.join(
-            contrib, nodes.node == contrib.dst, "left"
-        ).select(
-            "node",
-            F.round(
-                F.lit(base) / F.lit(float(n))
-                + F.lit(damping)
-                * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
-                9,
-            ).alias("rank"),
-        )
+        if dangling == "redistribute":
+            # dsum over out-degree-0 nodes is an exact DECIMAL(38,9) sum
+            # (ranks are round-9 doubles); ds is one scalar row, broadcast.
+            dang = (
+                ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("rank").cast("decimal(38,9)")),
+                        F.lit(0).cast("decimal(38,9)"),
+                    ).alias("dsum")
+                )
+                .select(
+                    F.round(
+                        F.col("dsum").cast("double") / F.lit(float(n)), 9
+                    ).alias("ds")
+                )
+            )
+            ranks = (
+                nodes.join(contrib, nodes.node == contrib.dst, "left")
+                .crossJoin(F.broadcast(dang))
+                .select(
+                    "node",
+                    F.round(
+                        F.lit(base) / F.lit(float(n))
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                            + F.col("ds")
+                        ),
+                        9,
+                    ).alias("rank"),
+                )
+            )
+        else:
+            ranks = nodes.join(
+                contrib, nodes.node == contrib.dst, "left"
+            ).select(
+                "node",
+                F.round(
+                    F.lit(base) / F.lit(float(n))
+                    + F.lit(damping)
+                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                    9,
+                ).alias("rank"),
+            )
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
     ranks.cached_deps = [e, e_deg]

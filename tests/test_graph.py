@@ -99,12 +99,73 @@ def test_pagerank_dangling_mass_drops(spark):
     assert got[1] > got[0]
 
 
+def test_pagerank_redistribute_matches_naive(spark):
+    # node 2 is dangling; replicate the engine arithmetic exactly:
+    # ds = round(sum of dangling ranks / n, 9) folded as d * (contrib + ds)
+    edges = [(0, 1), (1, 2), (3, 0)]
+    n_iter, d = 3, 0.85
+    nodes = {0, 1, 2, 3}
+    n = len(nodes)
+    out: dict[int, int] = {}
+    for s, _t in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: round(1.0 / n, 9) for v in nodes}
+    for _ in range(n_iter):
+        agg = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            agg[t] += round(rank[s] / out[s], 9)
+        ds = round(sum(rank[v] for v in nodes if v not in out) / n, 9)
+        rank = {
+            v: round((1.0 - d) / n + d * (round(agg[v], 9) + ds), 9)
+            for v in nodes
+        }
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            _edges(spark, edges), n_iter=n_iter, dangling="redistribute"
+        ).collect()
+    }
+    assert set(got) == nodes
+    for v in rank:
+        assert got[v] == pytest.approx(rank[v], abs=5e-9)
+    # mass is conserved up to round-9 truncation per node per iteration
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-7)
+
+
+def test_pagerank_redistribute_no_dangling_equals_drop(spark):
+    # with no out-degree-0 nodes ds == 0.0 and both variants agree exactly
+    edges = [(0, 1), (1, 2), (2, 0)]
+    drop = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges(spark, edges), n_iter=3).collect()
+    }
+    redis = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            _edges(spark, edges), n_iter=3, dangling="redistribute"
+        ).collect()
+    }
+    assert drop == redis
+
+
+def test_pagerank_dangling_validation(spark):
+    e = _edges(spark, [(0, 1)])
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(e, n_iter=1, dangling="teleport")
+
+
 def test_pagerank_plan_no_cartesian(spark):
     e = _edges(spark, [(0, 1), (1, 2), (2, 0)])
     out = pagerank(e, n_iter=2, checkpoint=False)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     for dep in out.cached_deps:
+        dep.unpersist()
+    # the redistribute scalar must broadcast, never a cartesian product
+    out2 = pagerank(e, n_iter=2, checkpoint=False, dangling="redistribute")
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan2
+    for dep in out2.cached_deps:
         dep.unpersist()
 
 

@@ -1,9 +1,12 @@
-"""Freeze the BPE-merge oracle fixture: run the SEQUENTIAL reference trainer
+"""Freeze the BPE oracle fixtures: run the SEQUENTIAL reference trainer
 (ops/bpe.bpe_train_py — pure Python, no Spark) over the sf0.01 documents and
-write the merge table to fixtures/oracle/sf0.01/bpe_merges.parquet. The
-driver's gate then hash-compares the DISTRIBUTED Spark trainer against this
-independent implementation — the same cross-implementation pattern as the
-frozen sequential LM scores (tools/freeze_oracle.py).
+write the merge table to fixtures/oracle/sf0.01/bpe_merges.parquet, plus the
+per-document segmentation produced by the sequential segmenter
+(ops/bpe.bpe_segment_py) to bpe_segments.parquet (doc_id, n_subwords,
+seg_md5 = md5 of the \\x1f-joined subword stream). The driver's gates then
+hash-compare the DISTRIBUTED Spark trainer AND the Arrow segmenter against
+this independent implementation — the same cross-implementation pattern as
+the frozen sequential LM scores (tools/freeze_oracle.py).
 
 Tokenization mirrors ops/textstats.TOKEN_SPLIT (the reference's corpus
 delimiters, corpus_count.cc:241-246) via Python re.
@@ -19,10 +22,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import hashlib
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from kenlm_rs_spark.ops.bpe import bpe_train_py
+from kenlm_rs_spark.ops.bpe import bpe_segment_py, bpe_train_py
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_MERGES = 12
@@ -37,10 +42,12 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
 
     docs = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
+    texts = docs.column("text").to_pylist()
+    doc_ids = docs.column("doc_id").to_pylist()
     wc: dict[str, int] = {}
-    for text in docs.column("text").to_pylist():
+    for text in texts:
         for w in _SPLIT.split(text):
             if w:
                 wc[w] = wc.get(w, 0) + 1
@@ -57,6 +64,33 @@ def main() -> None:
     out = os.path.join(out_dir, "bpe_merges.parquet")
     pq.write_table(table, out)
     print(f"wrote {out} ({len(merges)} merges from {len(wc)} distinct words)")
+
+    # per-document segmentation with the sequential segmenter (memoized per
+    # distinct word, like the Spark Arrow stage)
+    seg_cache: dict[str, list[str]] = {}
+    n_sub: list[int] = []
+    seg_md5: list[str] = []
+    for text in texts:
+        subs: list[str] = []
+        for w in _SPLIT.split(text):
+            if not w:
+                continue
+            hit = seg_cache.get(w)
+            if hit is None:
+                seg_cache[w] = hit = bpe_segment_py(w, merges)
+            subs.extend(hit)
+        n_sub.append(len(subs))
+        seg_md5.append(hashlib.md5("\x1f".join(subs).encode("utf-8")).hexdigest())
+    seg_table = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_subwords": pa.array(n_sub, pa.int64()),
+            "seg_md5": pa.array(seg_md5, pa.string()),
+        }
+    )
+    out2 = os.path.join(out_dir, "bpe_segments.parquet")
+    pq.write_table(seg_table, out2)
+    print(f"wrote {out2} ({len(doc_ids)} docs, {len(seg_cache)} distinct words)")
 
 
 if __name__ == "__main__":
