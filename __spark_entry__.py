@@ -758,6 +758,44 @@ def q_jpeg_pixel_stats(spark, sf_dir):
     )
 
 
+def q_image_phash(spark, sf_dir):
+    """Perceptual image hashes (aHash 8x8 block means, dHash 9x8 horizontal
+    gradients — ops/imagehash.perceptual_hashes) over REAL decoded pixels
+    of the patterned PNG/BMP payloads. Every bit is an integer
+    cross-multiplied comparison (block_sum*N > total*block_count), so the
+    oracle recomputes the identical 64-char bit strings from the
+    px=(7x+13y+31c) mod 256 arithmetic without touching image bytes."""
+    from kenlm_rs_spark.ops.imagehash import perceptual_hashes
+
+    payloads = _patterned_payloads(_docs(spark, sf_dir).select("doc_id"))
+    return perceptual_hashes(payloads).select(
+        "doc_id", "format", "ahash", "dhash"
+    )
+
+
+def q_image_hash_dedup(spark, sf_dir):
+    """Image near-duplicate detection on perceptual hashes (Manku 2007
+    simhash-dedup structure — ops/imagehash.hash_dedup_clusters): exact-hash
+    clusters plus, per distinct hash, the count of OTHER hashes within
+    hamming distance 3 found by a 4-band pigeonhole-exact LSH join and
+    verified JVM-side (conv + XOR + bit_count, no Python). bands >
+    max_hamming guarantees total recall, which is what makes the SQL
+    hamming self-join oracle reproduce the result exactly."""
+    from kenlm_rs_spark.ops.imagehash import (
+        hash_dedup_clusters,
+        perceptual_hashes,
+    )
+
+    payloads = _patterned_payloads(_docs(spark, sf_dir).select("doc_id"))
+    hashes = perceptual_hashes(payloads)
+    return hash_dedup_clusters(hashes, max_hamming=3, bands=4).select(
+        "ahash",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("rep_doc").cast("long").alias("rep_doc"),
+        F.col("near_neighbors").cast("long").alias("near_neighbors"),
+    )
+
+
 def q_image_pooled_features(spark, sf_dir):
     """REAL resize + feature-extract (the brief's image feature kernel,
     honest edition): decode patterned payloads, grayscale, average-pool to
@@ -2345,6 +2383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r6 (post-rotation): rotate into the r7 window ---
         "bpe_encode": q_bpe_encode,
         "pagerank_dangling": q_pagerank_dangling,
+        "image_phash": q_image_phash,
+        "image_hash_dedup": q_image_hash_dedup,
     }
 
 
@@ -2355,6 +2395,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 from kenlm_rs_spark.ops.drift import psi_term_sql_expr as _psi_term_sql_expr
 
 _PSI_TERM = _psi_term_sql_expr()
+
+# Shared CTE chain recomputing the perceptual hashes (ops/imagehash.py) from
+# the patterned-payload arithmetic: integer grayscale (r+g+b for >=3
+# channels, 3*c0 for gray/GA), block membership iy = y*GRID // h (the same
+# integer bucket map the numpy kernel uses), every bit a cross-multiplied
+# integer comparison — no division, no floats, both engines exact.
+_PHASH_CTE = """
+            WITH dims AS (
+              SELECT doc_id,
+                     8 + doc_id % 25 AS w,
+                     8 + (doc_id * 3) % 25 AS h,
+                     CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 3
+                          WHEN 2 THEN 4 WHEN 3 THEN 2 ELSE 3 END AS ch,
+                     CASE WHEN doc_id % 5 = 4 THEN 'bmp' ELSE 'png' END AS fmt
+              FROM documents
+            ), g AS (
+              SELECT d.doc_id, d.w, d.h, x.range AS x, y.range AS y,
+                     CASE WHEN d.ch >= 3 THEN
+                            (x.range * 7 + y.range * 13) % 256
+                          + (x.range * 7 + y.range * 13 + 31) % 256
+                          + (x.range * 7 + y.range * 13 + 62) % 256
+                          ELSE 3 * ((x.range * 7 + y.range * 13) % 256)
+                     END AS v
+              FROM dims d, range(0, 32) x, range(0, 32) y
+              WHERE x.range < d.w AND y.range < d.h
+            ), tot AS (
+              SELECT doc_id, sum(v) AS t, count(*) AS n FROM g GROUP BY 1
+            ), ab AS (
+              SELECT doc_id, (y * 8) // h AS iy, (x * 8) // w AS jx,
+                     sum(v) AS s, count(*) AS c
+              FROM g GROUP BY 1, 2, 3
+            ), ah AS (
+              SELECT ab.doc_id,
+                     string_agg(CASE WHEN ab.s * tot.n > tot.t * ab.c
+                                     THEN '1' ELSE '0' END,
+                                '' ORDER BY ab.iy, ab.jx) AS ahash
+              FROM ab JOIN tot ON tot.doc_id = ab.doc_id
+              GROUP BY 1
+            ), db0 AS (
+              SELECT doc_id, (y * 8) // h AS iy, (x * 9) // w AS jx,
+                     sum(v) AS s, count(*) AS c
+              FROM g GROUP BY 1, 2, 3
+            ), grid AS (
+              SELECT d.doc_id, iy.range AS iy, jx.range AS jx,
+                     COALESCE(db0.s, 0) AS s, COALESCE(db0.c, 0) AS c
+              FROM dims d
+              CROSS JOIN range(0, 8) iy
+              CROSS JOIN range(0, 9) jx
+              LEFT JOIN db0 ON db0.doc_id = d.doc_id
+                           AND db0.iy = iy.range AND db0.jx = jx.range
+            ), dh AS (
+              SELECT l.doc_id,
+                     string_agg(CASE WHEN l.s * r.c > r.s * l.c
+                                     THEN '1' ELSE '0' END,
+                                '' ORDER BY l.iy, l.jx) AS dhash
+              FROM grid l JOIN grid r
+                ON r.doc_id = l.doc_id AND r.iy = l.iy AND r.jx = l.jx + 1
+              WHERE l.jx < 8
+              GROUP BY 1
+            )
+"""
 
 # Shared JFIF color-conversion constants (ops/multimodal.py): the SAME
 # literal strings numpy parses with float() render into the jpeg oracle
@@ -3643,6 +3744,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN ent ON ent.doc_id = d.doc_id
             GROUP BY d.doc_id, d.w, d.h, mm.px_min, mm.px_max,
                      ent.entropy_bits
+        """,
+        # Perceptual-hash twin: the CTE rebuilds both 64-char bit strings
+        # from the pattern arithmetic; the Spark side decoded real bytes.
+        "image_phash": _PHASH_CTE + """
+            SELECT d.doc_id, d.fmt AS format, ah.ahash, dh.dhash
+            FROM dims d
+            JOIN ah ON ah.doc_id = d.doc_id
+            JOIN dh ON dh.doc_id = d.doc_id
+        """,
+        # Hash-dedup twin: banded recall is pigeonhole-EXACT for
+        # max_hamming < bands, so a plain hamming<=3 self-join over the
+        # distinct hashes reproduces the Spark LSH result verbatim.
+        "image_hash_dedup": _PHASH_CTE + """
+            , clusters AS (
+              SELECT ahash AS h, count(*) AS cluster_size,
+                     min(doc_id) AS rep_doc
+              FROM ah GROUP BY 1
+            ), pairs AS (
+              SELECT a.h AS h1, b.h AS h2
+              FROM clusters a JOIN clusters b ON a.h <> b.h
+            ), ham AS (
+              SELECT p.h1, p.h2,
+                     sum(CASE WHEN substr(p.h1, CAST(r.range AS INT) + 1, 1)
+                              <> substr(p.h2, CAST(r.range AS INT) + 1, 1)
+                         THEN 1 ELSE 0 END) AS d
+              FROM pairs p CROSS JOIN range(0, 64) r
+              GROUP BY 1, 2
+            ), neigh AS (
+              SELECT h1 AS h, count(*) AS near_neighbors
+              FROM ham WHERE d <= 3 GROUP BY 1
+            )
+            SELECT c.h AS ahash,
+                   CAST(c.cluster_size AS BIGINT) AS cluster_size,
+                   CAST(c.rep_doc AS BIGINT) AS rep_doc,
+                   CAST(COALESCE(n.near_neighbors, 0) AS BIGINT)
+                     AS near_neighbors
+            FROM clusters c LEFT JOIN neigh n ON n.h = c.h
         """,
         # JPEG pixel-decode twin: constant-per-block planes make the DC-only
         # decode bit-exact, so every RGB pixel is pure doc_id arithmetic:

@@ -1,0 +1,219 @@
+"""Perceptual image hashing + hash-based image near-duplicate detection.
+
+LAION-style image dedup for a multimodal corpus: decode the binary payload
+(the REAL pure-stdlib decoders in ops/multimodal.decode_pixels), reduce to
+a coarse grayscale grid, and emit compact perceptual hashes:
+
+- aHash (average hash): 8x8 block-mean grid, bit = block mean > global mean.
+- dHash (difference hash): 9x8 column grid, bit = mean(col j) > mean(col j+1)
+  per row — a horizontal-gradient signature.
+
+Engine-exactness: every bit is an INTEGER cross-multiplied comparison
+(block_sum * total_count > total_sum * block_count) — no division, no
+floats — so a SQL oracle recomputes the identical 64-bit strings from the
+synthetic pixel arithmetic without touching image bytes (the same
+pattern-oracle scheme as image_pixel_stats). Hashes are emitted as 64-char
+'0'/'1' strings: portable across Spark/DuckDB and directly substring-able
+into LSH bands.
+
+Near-dup at scale (Manku et al., WWW 2007 — simhash dedup of web crawls):
+split the 64-bit hash into `bands` contiguous blocks; any pair within
+hamming distance d < bands shares at least one untouched band (pigeonhole),
+so an exact-match join per band finds ALL such pairs — candidate
+generation is a uniform-key shuffle on (band, bits), never an all-pairs
+product, and verification XORs two 32-bit halves JVM-side (conv + bit_count,
+whole-stage codegen, no Python). Mirrors the reference's hash-blocked dedup
+structure (/root/reference/src/rust/src/lib.rs vocabulary hashing: hash
+buckets before any pairwise work).
+
+At 100 TB: hashing is one narrow Arrow stage per payload partition (no
+shuffle); dedup shuffles only (distinct-hash, band) keys — 64 bits + band
+id per image, independent of image size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kenlm_rs_spark.ops.multimodal import decode_pixels, parse_image_header
+
+GRID = 8  # 8x8 = 64-bit hashes
+
+PERCEPTUAL_HASH_SCHEMA = (
+    "doc_id long, format string, ahash string, dhash string"
+)
+
+
+def _gray(px: np.ndarray) -> np.ndarray:
+    """Integer grayscale (h, w) int64. For >=3 channels: r+g+b (alpha
+    ignored); for 1/2 channels (gray / gray+alpha): 3*c0 — the same scale,
+    so thresholds are comparable across formats, and still pure integers."""
+    ch = px.shape[2]
+    if ch >= 3:
+        return px[:, :, :3].astype(np.int64).sum(axis=2)
+    return px[:, :, 0].astype(np.int64) * 3
+
+
+def _block_sums(
+    g: np.ndarray, ny: int, nx: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(sums, counts) of g over an ny x nx grid with block membership
+    iy = y*ny // h, jx = x*nx // w (the '8 equal buckets' integer map —
+    identical formula in the SQL oracles). Blocks may be empty when the
+    image is narrower than the grid; counts carry the zeros."""
+    h, w = g.shape
+    iy = (np.arange(h, dtype=np.int64) * ny) // h
+    jx = (np.arange(w, dtype=np.int64) * nx) // w
+    bid = iy[:, None] * nx + jx[None, :]
+    sums = np.bincount(bid.ravel(), weights=g.ravel(), minlength=ny * nx)
+    counts = np.bincount(bid.ravel(), minlength=ny * nx)
+    return sums.astype(np.int64).reshape(ny, nx), counts.reshape(ny, nx)
+
+
+def ahash_bits(g: np.ndarray) -> str:
+    """64-char row-major bit string: block mean > global mean, compared as
+    block_sum * N > total * block_count (exact integers, no division)."""
+    s, c = _block_sums(g, GRID, GRID)
+    total = int(g.sum())
+    n = g.size
+    bits = (s * n) > (total * c)
+    return "".join("1" if b else "0" for b in bits.ravel())
+
+
+def dhash_bits(g: np.ndarray) -> str:
+    """64-char bit string over a 9-column x 8-row grid: per row, bit j =
+    mean(block j) > mean(block j+1), cross-multiplied (s_j*c_{j+1} >
+    s_{j+1}*c_j). Empty blocks compare 0 > 0 = False in both engines."""
+    s, c = _block_sums(g, GRID, GRID + 1)
+    left_s, right_s = s[:, :-1], s[:, 1:]
+    left_c, right_c = c[:, :-1], c[:, 1:]
+    bits = (left_s * right_c) > (right_s * left_c)
+    return "".join("1" if b else "0" for b in bits.ravel())
+
+
+def perceptual_hashes(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """binary payloads -> (doc_id, format, ahash, dhash) via one
+    mapInPandas stage. Undecodable payloads yield null hashes with
+    format='undecodable' so the operator stays total over a dirty corpus."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i, data in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(data) if data is not None else b""
+                meta = parse_image_header(b)
+                try:
+                    px = decode_pixels(b)
+                except (NotImplementedError, ValueError):
+                    px = None
+                if px is None:
+                    rows.append(
+                        dict(
+                            doc_id=int(i),
+                            format="undecodable" if meta is None else meta[3],
+                            ahash=None,
+                            dhash=None,
+                        )
+                    )
+                    continue
+                g = _gray(px)
+                rows.append(
+                    dict(
+                        doc_id=int(i),
+                        format=meta[3] if meta is not None else "raw",
+                        ahash=ahash_bits(g),
+                        dhash=dhash_bits(g),
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(
+        gen, schema=PERCEPTUAL_HASH_SCHEMA
+    )
+
+
+def _hamming64(a, b):
+    """Hamming distance between two 64-char bit-string columns, JVM-side:
+    conv() each 32-char half to a long, XOR, bit_count — stays inside
+    whole-stage codegen (no Python, no HOF lambdas)."""
+    d = F.lit(0)
+    for lo in (1, 33):
+        x = F.conv(F.substring(a, lo, 32), 2, 10).cast("long")
+        y = F.conv(F.substring(b, lo, 32), 2, 10).cast("long")
+        d = d + F.bit_count(x.bitwiseXOR(y))
+    return d
+
+
+def hash_dedup_clusters(
+    hashes: DataFrame,
+    hash_col: str = "ahash",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Image dedup summary per DISTINCT perceptual hash:
+    (hash, cluster_size, rep_doc, near_neighbors) where cluster_size is the
+    number of docs sharing the hash exactly, rep_doc the smallest doc_id
+    (the kept representative), and near_neighbors the count of OTHER
+    distinct hashes within `max_hamming` bits.
+
+    Exactness: requires max_hamming < bands, so pigeonhole guarantees every
+    qualifying pair agrees on at least one full band — the banded
+    equi-join finds ALL pairs (no probabilistic recall), which is what lets
+    a SQL oracle reproduce the result. Candidate pairs are verified with
+    the codegen XOR/bit_count kernel and deduplicated before counting."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming "
+            f"(got {bands}) for exact pigeonhole recall"
+        )
+    if 64 % bands:
+        raise ValueError(f"bands={bands} must divide 64")
+    width = 64 // bands
+
+    clusters = (
+        hashes.filter(F.col(hash_col).isNotNull())
+        .groupBy(F.col(hash_col).alias("h"))
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min("doc_id").alias("rep_doc"),
+        )
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring("h", b * width + 1, width).alias("bits"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = clusters.select(
+        "h", F.explode(band_arr).alias("bs")
+    ).select("h", F.col("bs.band").alias("band"), F.col("bs.bits").alias("bits"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.h") != F.col("b.h")),
+        )
+        .select(F.col("a.h").alias("h"), F.col("b.h").alias("g"))
+        .distinct()
+        .filter(_hamming64(F.col("h"), F.col("g")) <= max_hamming)
+    )
+    neigh = pairs.groupBy("h").agg(F.count("*").alias("near_neighbors"))
+    return (
+        clusters.join(neigh, "h", "left")
+        .select(
+            F.col("h").alias(hash_col),
+            "cluster_size",
+            "rep_doc",
+            F.coalesce("near_neighbors", F.lit(0)).alias("near_neighbors"),
+        )
+    )
