@@ -857,6 +857,41 @@ def q_audio_pcm_stats(spark, sf_dir):
     )
 
 
+def q_audio_mp3_metadata(spark, sf_dir):
+    """REAL MPEG audio frame walk (ops/audio.parse_mp3 — ISO 11172-3 header
+    bit fields, ID3v2 synchsafe skip, per-frame length hop): per doc a
+    valid MPEG1 Layer III stream with VBR per-frame bitrates is synthesized
+    from doc_id arithmetic (make_mp3_patterned) and parsed back; the oracle
+    recomputes frame count, duration, average bitrate, VBR flag, ID3 size
+    and walked bytes from the same arithmetic (bitrate-table lookups +
+    integer frame-length law (144000*kbps)//rate + pad) without touching
+    MP3 bytes."""
+    import pandas as pd
+
+    from kenlm_rs_spark.ops.audio import make_mp3_patterned, mp3_metadata
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = [make_mp3_patterned(int(i)) for i in pdf["doc_id"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return mp3_metadata(payloads).select(
+        "doc_id",
+        "n_frames",
+        "sample_rate",
+        "channel_mode",
+        F.round("duration_s", 9).alias("duration_s"),
+        F.round("avg_bitrate_kbps", 9).alias("avg_bitrate_kbps"),
+        "is_vbr",
+        "has_id3",
+        "id3_size",
+        "stream_bytes",
+    )
+
+
 def q_video_metadata(spark, sf_dir):
     """REAL video metadata (ops/multimodal.parse_video_metadata): per doc a
     minimal valid ISO-BMFF stream (ftyp + moov[mvhd + trak[tkhd]], 16.16
@@ -2385,6 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_dangling": q_pagerank_dangling,
         "image_phash": q_image_phash,
         "image_hash_dedup": q_image_hash_dedup,
+        "audio_mp3_metadata": q_audio_mp3_metadata,
     }
 
 
@@ -3941,6 +3977,52 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(dur AS DOUBLE) / ts, 9) AS duration_s,
                    CAST((dur * 30) // ts AS BIGINT) AS n_frames_30fps
             FROM dims
+        """,
+        # MPEG-audio frame-walk twin: the parser hops real header bytes;
+        # the oracle replays the synthesis arithmetic (bitrate-table list
+        # lookups, integer frame-length law (144000*kbps)//rate + pad,
+        # synchsafe ID3 size) and never builds a stream.
+        "audio_mp3_metadata": """
+            WITH base AS (
+              SELECT doc_id,
+                     3 + doc_id % 7 AS nframes,
+                     ([44100, 48000, 32000])[CAST(doc_id % 3 AS INT) + 1]
+                       AS sr,
+                     (['stereo', 'joint_stereo', 'dual_channel', 'mono'])
+                       [CAST(doc_id % 4 AS INT) + 1] AS channel_mode,
+                     CASE WHEN doc_id % 5 = 0 THEN 10 + doc_id % 50
+                          ELSE 0 END AS id3_size
+              FROM documents
+            ), frames AS (
+              SELECT b.doc_id, b.sr,
+                     ([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                       224, 256, 320])
+                       [CAST((b.doc_id + k.range % (1 + b.doc_id % 3)) % 14
+                             AS INT) + 1] AS kbps,
+                     (b.doc_id + k.range) % 2 AS pad
+              FROM base b, range(0, 10) k
+              WHERE k.range < b.nframes
+            ), agg AS (
+              SELECT doc_id,
+                     sum(kbps) AS kbps_sum,
+                     count(DISTINCT kbps) AS nk,
+                     sum((144000 * kbps) // sr + pad) AS body_bytes
+              FROM frames
+              GROUP BY 1
+            )
+            SELECT b.doc_id,
+                   CAST(b.nframes AS BIGINT) AS n_frames,
+                   CAST(b.sr AS BIGINT) AS sample_rate,
+                   b.channel_mode,
+                   round(CAST(b.nframes * 1152 AS DOUBLE) / b.sr, 9)
+                     AS duration_s,
+                   round(CAST(a.kbps_sum AS DOUBLE) / b.nframes, 9)
+                     AS avg_bitrate_kbps,
+                   a.nk > 1 AS is_vbr,
+                   b.doc_id % 5 = 0 AS has_id3,
+                   CAST(b.id3_size AS BIGINT) AS id3_size,
+                   CAST(b.id3_size + a.body_bytes AS BIGINT) AS stream_bytes
+            FROM base b JOIN agg a ON a.doc_id = b.doc_id
         """,
         "audio_pcm_stats": """
             WITH dims AS (
