@@ -153,6 +153,12 @@ BENCH_QUERIES = [
     "sentence_stats",
     # added r06
     "jpeg_pixel_stats",
+    # added late r06 (appended so earlier per-query timings stay comparable)
+    "bpe_encode",
+    "pagerank_dangling",
+    "image_phash",
+    "image_hash_dedup",
+    "audio_mp3_metadata",
 ]
 
 
