@@ -927,6 +927,45 @@ def q_video_metadata(spark, sf_dir):
     )
 
 
+def q_video_frame_sample(spark, sf_dir):
+    """REAL MP4 frame extraction + decode (retires the frame-sampling stub
+    boundary): per doc a playable-shape MJPEG-in-MP4
+    (ops/imagegen.make_mp4_mjpeg_patterned — ftyp + non-contiguous
+    two-chunk mdat + full moov sample table) is synthesized on executors;
+    ops/multimodal.parse_video_frames walks stsc/stsz/stco like a demuxer,
+    slices each sample's byte range, and every SECOND frame (every_n=2)
+    goes through the full baseline-JPEG decoder for integer-exact channel
+    means and min/max. The oracle replays the mjpeg_frame_dims +
+    jpeg_block_value arithmetic per (doc, frame) and never touches
+    bytes."""
+    import pandas as pd
+
+    from kenlm_rs_spark.ops.imagegen import make_mp4_mjpeg_patterned
+    from kenlm_rs_spark.ops.multimodal import video_frame_stats
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = [
+                make_mp4_mjpeg_patterned(int(i)) for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
+    return video_frame_stats(payloads, every_n=2).select(
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.round("mean_c0", 9).alias("mean_c0"),
+        F.round("mean_c1", 9).alias("mean_c1"),
+        F.round("mean_c2", 9).alias("mean_c2"),
+        "px_min",
+        "px_max",
+    )
+
+
 # special lines for the c4_rules gate row (shared Spark/SQL constants)
 _C4_LOREM_LINE = "lorem ipsum dolor sit amet."
 _C4_BRACE_LINE = "function() { return 1; }"
@@ -2421,6 +2460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash": q_image_phash,
         "image_hash_dedup": q_image_hash_dedup,
         "audio_mp3_metadata": q_audio_mp3_metadata,
+        "video_frame_sample": q_video_frame_sample,
     }
 
 
@@ -3884,6 +3924,60 @@ def oracle_sql() -> dict[str, str]:
             JOIN ent ON ent.doc_id = d.doc_id
             GROUP BY d.doc_id, d.w, d.h, mm.px_min, mm.px_max,
                      ent.entropy_bits
+        """,
+        # MP4 frame-extraction twin: Spark demuxes real bytes and decodes
+        # real JPEG frames; the oracle replays mjpeg_frame_dims +
+        # jpeg_block_value + the shared JFIF color constants per
+        # (doc, sampled frame) — constant DC-only blocks make the decode
+        # bit-exact predictable, as in jpeg_pixel_stats.
+        "video_frame_sample": f"""
+            WITH f AS (
+              SELECT doc_id, k.range AS frame_idx,
+                     16 * (1 + (doc_id + k.range) % 3) AS w,
+                     16 * (1 + (doc_id + 2 * k.range) % 2) AS h,
+                     CASE WHEN (doc_id + k.range) % 2 = 0 THEN 8
+                          ELSE 16 END AS s
+              FROM documents, range(0, 6) k
+              WHERE k.range < 2 + doc_id % 4 AND k.range % 2 = 0
+            ), ycc AS MATERIALIZED (
+              SELECT f.doc_id, f.frame_idx, f.w, f.h,
+                     CAST((7 * (x.range // 8) + 13 * (y.range // 8)) % 256
+                          AS DOUBLE) AS yv,
+                     CAST((11 * (x.range // f.s) + 17 * (y.range // f.s) + 8)
+                          % 256 AS DOUBLE) - 128.0 AS cbm,
+                     CAST((5 * (x.range // f.s) + 19 * (y.range // f.s) + 16)
+                          % 256 AS DOUBLE) - 128.0 AS crm
+              FROM f, range(0, 48) x, range(0, 32) y
+              WHERE x.range < f.w AND y.range < f.h
+            ), px AS MATERIALIZED (
+              SELECT doc_id, frame_idx, w, h, c.range AS chan,
+                     CAST(GREATEST(0.0, LEAST(255.0, CASE c.range
+                       WHEN 0 THEN floor(yv + {_JPEG_R_CR}::DOUBLE * crm + 0.5)
+                       WHEN 1 THEN floor(yv - {_JPEG_G_CB}::DOUBLE * cbm
+                                         - {_JPEG_G_CR}::DOUBLE * crm + 0.5)
+                       ELSE floor(yv + {_JPEG_B_CB}::DOUBLE * cbm + 0.5)
+                     END)) AS BIGINT) AS v
+              FROM ycc, range(0, 3) c
+            ), cm AS (
+              SELECT doc_id, frame_idx, chan,
+                     round(CAST(sum(v) AS DOUBLE) / (max(w) * max(h)), 9) AS m
+              FROM px GROUP BY 1, 2, 3
+            ), mm AS (
+              SELECT doc_id, frame_idx,
+                     min(v) AS px_min, max(v) AS px_max
+              FROM px GROUP BY 1, 2
+            )
+            SELECT f.doc_id, f.frame_idx,
+                   CAST(f.w AS BIGINT) AS width, CAST(f.h AS BIGINT) AS height,
+                   max(CASE WHEN cm.chan = 0 THEN cm.m END) AS mean_c0,
+                   max(CASE WHEN cm.chan = 1 THEN cm.m END) AS mean_c1,
+                   max(CASE WHEN cm.chan = 2 THEN cm.m END) AS mean_c2,
+                   CAST(mm.px_min AS BIGINT) AS px_min,
+                   CAST(mm.px_max AS BIGINT) AS px_max
+            FROM f
+            JOIN cm ON cm.doc_id = f.doc_id AND cm.frame_idx = f.frame_idx
+            JOIN mm ON mm.doc_id = f.doc_id AND mm.frame_idx = f.frame_idx
+            GROUP BY f.doc_id, f.frame_idx, f.w, f.h, mm.px_min, mm.px_max
         """,
         "robots_filter": """
             WITH u AS (

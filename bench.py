@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "image_phash",
     "image_hash_dedup",
     "audio_mp3_metadata",
+    "video_frame_sample",
 ]
 
 

@@ -551,3 +551,137 @@ def make_jpeg_gray_coeffs(coefs: dict[int, int]) -> bytes:
     ac = {k: v for k, v in coefs.items() if k != 0}
     _encode_block_dc(writer, coefs.get(0, 0), 0, dc_codes, ac_codes, ac)
     return b"\xff\xd8" + dqt + dht + sof0 + sos + writer.flush() + b"\xff\xd9"
+
+
+# ----------------------------------------------------------- MJPEG-in-MP4
+# A playable-shape ISO-BMFF file whose track samples are REAL baseline
+# JPEGs (make_jpeg_patterned) — the composition that retires the "MP4
+# frame extraction" declared boundary: the sample table (stsc/stsz/stco)
+# is written forward here and walked back independently by
+# ops/multimodal.parse_video_frames, and every extracted frame goes
+# through the full JPEG decoder. Chunk offsets are deliberately
+# NON-contiguous (deterministic padding between the two chunks) so the
+# chunk map genuinely matters.
+
+
+def _bmff_box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def mjpeg_frame_dims(doc_id: int, k: int) -> tuple[int, int, str]:
+    """Shared arithmetic for frame k of doc doc_id: width, height and
+    chroma subsampling — the SQL oracle replays exactly this."""
+    w = 16 * (1 + (doc_id + k) % 3)
+    h = 16 * (1 + (doc_id + 2 * k) % 2)
+    sub = "444" if (doc_id + k) % 2 == 0 else "420"
+    return w, h, sub
+
+
+def make_mp4_mjpeg_patterned(doc_id: int) -> bytes:
+    """Valid ISO-BMFF (ftyp + mdat + moov[mvhd, trak[tkhd, mdia[mdhd,
+    hdlr, minf[stbl[stsd('jpeg'), stts, stsc, stsz, stco]]]]]) whose
+    2 + doc_id%4 samples are constant-block baseline JPEGs
+    (jpeg_block_value planes, per-frame dims from mjpeg_frame_dims).
+    Samples split into two chunks when nframes >= 3, with 7 + doc_id%5
+    padding bytes between them inside mdat, so stco carries two
+    non-contiguous absolute offsets; timescale 30, one unit per frame."""
+    nframes = 2 + doc_id % 4
+    frames = [
+        make_jpeg_patterned(*mjpeg_frame_dims(doc_id, k)[:2],
+                            mjpeg_frame_dims(doc_id, k)[2])
+        for k in range(nframes)
+    ]
+    sizes = [len(f) for f in frames]
+    pad = bytes(7 + doc_id % 5)
+    two_chunks = nframes >= 3
+    if two_chunks:
+        chunk1, chunk2 = frames[:2], frames[2:]
+        mdat_payload = b"".join(chunk1) + pad + b"".join(chunk2)
+    else:
+        chunk1, chunk2 = frames, []
+        mdat_payload = b"".join(chunk1)
+
+    ftyp = _bmff_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mdat_off = len(ftyp) + 8  # absolute offset of mdat payload
+    mdat = _bmff_box(b"mdat", mdat_payload)
+
+    offsets = [mdat_off]
+    if two_chunks:
+        offsets.append(mdat_off + sum(sizes[:2]) + len(pad))
+
+    w0, h0, _ = mjpeg_frame_dims(doc_id, 0)
+    timescale = 30
+    mvhd = _bmff_box(
+        b"mvhd",
+        struct.pack(">I", 0) + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, nframes)
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = _bmff_box(
+        b"tkhd",
+        struct.pack(">I", 7) + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1) + struct.pack(">I", 0)
+        + struct.pack(">I", nframes) + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w0 << 16, h0 << 16),
+    )
+    mdhd = _bmff_box(
+        b"mdhd",
+        struct.pack(">I", 0) + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, nframes)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = _bmff_box(
+        b"hdlr",
+        struct.pack(">I", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 12
+        + b"MJPEG\x00",
+    )
+    # VisualSampleEntry 'jpeg' per ISO/IEC 14496-12 §12.1.3
+    sample_entry = _bmff_box(
+        b"jpeg",
+        b"\x00" * 6 + struct.pack(">H", 1)          # reserved + dref idx
+        + struct.pack(">HH", 0, 0) + b"\x00" * 12   # pre_defined/reserved
+        + struct.pack(">HH", w0, h0)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0) + struct.pack(">H", 1)  # resv + frame_count
+        + b"\x00" * 32                                 # compressorname
+        + struct.pack(">Hh", 24, -1),                  # depth, pre_defined
+    )
+    stsd = _bmff_box(
+        b"stsd", struct.pack(">I", 0) + struct.pack(">I", 1) + sample_entry
+    )
+    stts = _bmff_box(
+        b"stts",
+        struct.pack(">I", 0) + struct.pack(">I", 1)
+        + struct.pack(">II", nframes, 1),
+    )
+    if two_chunks:
+        stsc_entries = [(1, 2, 1), (2, nframes - 2, 1)]
+    else:
+        stsc_entries = [(1, nframes, 1)]
+    stsc = _bmff_box(
+        b"stsc",
+        struct.pack(">I", 0) + struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", *e) for e in stsc_entries),
+    )
+    stsz = _bmff_box(
+        b"stsz",
+        struct.pack(">I", 0) + struct.pack(">I", 0)
+        + struct.pack(">I", nframes)
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stco = _bmff_box(
+        b"stco",
+        struct.pack(">I", 0) + struct.pack(">I", len(offsets))
+        + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    stbl = _bmff_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _bmff_box(b"minf", stbl)
+    mdia = _bmff_box(b"mdia", mdhd + hdlr + minf)
+    trak = _bmff_box(b"trak", tkhd + mdia)
+    moov = _bmff_box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

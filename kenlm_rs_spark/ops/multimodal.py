@@ -833,27 +833,33 @@ def image_pooled_features(
 
 # ----------------------------------------------------------------- video
 
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield (tag, body_start, box_end) for each ISO-BMFF box in
+    buf[start:end] — handles 64-bit (size==1) boxes; stops cleanly on a
+    malformed size."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", buf[pos : pos + 4])
+        tag = buf[pos + 4 : pos + 8]
+        body_start = pos + 8
+        if size == 1:  # 64-bit box size
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+            body_start = pos + 16
+        if size < 8 or pos + size > end:
+            return
+        yield tag, body_start, pos + size
+        pos += size
+
+
 def parse_video_metadata(data: bytes) -> tuple[int, int, int, int] | None:
     """REAL ISO-BMFF (MP4/MOV) metadata: walk top-level boxes to moov,
     read mvhd (timescale, duration — v0 u32 / v1 u64) and the first tkhd
     (16.16 fixed-point width/height). Returns (width, height, timescale,
     duration_units) or None if the bytes are not ISO-BMFF. Frame/pixel
     decode of the mdat payload is the declared codec boundary."""
-    def walk(buf: bytes, start: int, end: int):
-        pos = start
-        while pos + 8 <= end:
-            (size,) = struct.unpack(">I", buf[pos : pos + 4])
-            tag = buf[pos + 4 : pos + 8]
-            body_start = pos + 8
-            if size == 1:  # 64-bit box size
-                if pos + 16 > end:
-                    return
-                (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
-                body_start = pos + 16
-            if size < 8 or pos + size > end:
-                return
-            yield tag, body_start, pos + size
-            pos += size
+    walk = _walk_boxes
 
     if len(data) < 12:
         return None
@@ -945,3 +951,166 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30, id_col: str = "doc_id") 
             )
         ).alias("frame_idx"),
     ).filter(F.col("frame_idx") % every_n == 0)
+
+
+def parse_video_frames(data: bytes) -> list[bytes] | None:
+    """REAL MP4 frame extraction (retires the frame_sample_plan stub
+    boundary): walk moov>trak>mdia>minf>stbl, read the sample table —
+    stsz (per-sample or uniform sizes), stsc (chunk map: entry
+    (first_chunk, samples_per_chunk, desc) applies up to the next entry's
+    first_chunk), stco/co64 (absolute chunk offsets) — and slice each
+    sample's byte range out of the file, exactly the walk a demuxer does
+    (ISO/IEC 14496-12 §8.7; the reference keeps all media handling out of
+    scope, /root/reference/src/cxx/lm — this is the Spark-pipeline
+    extension surface). Returns the per-sample byte strings of the FIRST
+    track that carries a complete sample table, or None if the bytes are
+    not ISO-BMFF / carry no sample table."""
+    if len(data) < 12:
+        return None
+    if data[4:8] not in (b"ftyp", b"moov", b"mdat", b"free", b"wide", b"styp"):
+        return None
+    for tag, s, e in _walk_boxes(data, 0, len(data)):
+        if tag != b"moov":
+            continue
+        for t2, s2, e2 in _walk_boxes(data, s, e):
+            if t2 != b"trak":
+                continue
+            sizes = offsets = stsc_entries = None
+            for t3, s3, e3 in _walk_boxes(data, s2, e2):
+                if t3 != b"mdia":
+                    continue
+                for t4, s4, e4 in _walk_boxes(data, s3, e3):
+                    if t4 != b"minf":
+                        continue
+                    for t5, s5, e5 in _walk_boxes(data, s4, e4):
+                        if t5 != b"stbl":
+                            continue
+                        for t6, s6, e6 in _walk_boxes(data, s5, e5):
+                            body = data[s6:e6]
+                            if t6 == b"stsz" and len(body) >= 12:
+                                uniform, count = struct.unpack(
+                                    ">II", body[4:12]
+                                )
+                                if uniform:
+                                    sizes = [uniform] * count
+                                else:
+                                    sizes = list(
+                                        struct.unpack(
+                                            f">{count}I",
+                                            body[12 : 12 + 4 * count],
+                                        )
+                                    )
+                            elif t6 == b"stco" and len(body) >= 8:
+                                (n,) = struct.unpack(">I", body[4:8])
+                                offsets = list(
+                                    struct.unpack(
+                                        f">{n}I", body[8 : 8 + 4 * n]
+                                    )
+                                )
+                            elif t6 == b"co64" and len(body) >= 8:
+                                (n,) = struct.unpack(">I", body[4:8])
+                                offsets = list(
+                                    struct.unpack(
+                                        f">{n}Q", body[8 : 8 + 8 * n]
+                                    )
+                                )
+                            elif t6 == b"stsc" and len(body) >= 8:
+                                (n,) = struct.unpack(">I", body[4:8])
+                                stsc_entries = [
+                                    struct.unpack(
+                                        ">III", body[8 + 12 * j : 20 + 12 * j]
+                                    )
+                                    for j in range(n)
+                                ]
+            if sizes is None or offsets is None or not stsc_entries:
+                continue
+            # chunk map: samples_per_chunk for chunk ci (1-based) = the
+            # last stsc entry with first_chunk <= ci
+            samples: list[bytes] = []
+            si = 0
+            for ci, off in enumerate(offsets, start=1):
+                spc = 0
+                for first, per, _desc in stsc_entries:
+                    if first <= ci:
+                        spc = per
+                pos = off
+                for _ in range(spc):
+                    if si >= len(sizes):
+                        break
+                    sz = sizes[si]
+                    if pos + sz > len(data):
+                        return samples  # truncated: complete samples only
+                    samples.append(data[pos : pos + sz])
+                    pos += sz
+                    si += 1
+            return samples
+    return None
+
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, width long, height long, "
+    "mean_c0 double, mean_c1 double, mean_c2 double, "
+    "px_min long, px_max long"
+)
+
+
+def video_frame_stats(
+    df: DataFrame,
+    every_n: int = 1,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """binary MP4 -> one row per SAMPLED frame (frame_idx % every_n == 0)
+    with REAL decoded pixel statistics: each sample byte range from the
+    stsc/stsz/stco walk is decoded by the full image decoder (baseline
+    JPEG Huffman+IDCT for MJPEG tracks), then integer-exact channel sums /
+    pixel count and min/max. One Arrow stage, no shuffle; a payload whose
+    demux or decode fails yields a single all-null row (total operator)."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i, data in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(data) if data is not None else b""
+                null_row = dict(
+                    doc_id=int(i), frame_idx=None, width=None, height=None,
+                    mean_c0=None, mean_c1=None, mean_c2=None,
+                    px_min=None, px_max=None,
+                )
+                try:
+                    frames = parse_video_frames(b)
+                except (ValueError, struct.error, IndexError):
+                    frames = None
+                if not frames:
+                    rows.append(null_row)
+                    continue
+                for k, fb in enumerate(frames):
+                    if k % every_n:
+                        continue
+                    try:
+                        arr = np.atleast_3d(decode_pixels(fb))
+                    except (NotImplementedError, ValueError, IndexError):
+                        rows.append(dict(null_row, frame_idx=k))
+                        continue
+                    h, w, ch = arr.shape
+                    sums = arr.reshape(-1, ch).sum(axis=0, dtype=np.int64)
+                    npx = h * w
+
+                    def mean(c: int) -> float | None:
+                        return float(sums[c]) / npx if c < ch else None
+
+                    rows.append(
+                        dict(
+                            doc_id=int(i), frame_idx=k, width=w, height=h,
+                            mean_c0=mean(0), mean_c1=mean(1),
+                            mean_c2=mean(2),
+                            px_min=int(arr.min()), px_max=int(arr.max()),
+                        )
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(
+        gen, schema=VIDEO_FRAME_SCHEMA
+    )
