@@ -937,10 +937,10 @@ def video_metadata(
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 30, id_col: str = "doc_id") -> DataFrame:
-    """Video frame-sampling plumbing: emits (doc_id, frame_idx) rows for a
-    deterministic fake frame count derived from payload size; the decode of
-    each frame is the NotImplementedError stub boundary. (For real MP4
-    payloads, video_metadata supplies the true frame arithmetic.)"""
+    """Video frame-sampling plumbing over a fake frame count derived from
+    payload size — kept for schema-only pipelines. For REAL ISO-BMFF
+    payloads use video_frame_stats: parse_video_frames demuxes the actual
+    sample table and each frame goes through the real decoder."""
     n_frames = (F.length(F.col("payload")) / 1000).cast("int") + 1
     return df.select(
         id_col,
