@@ -40,8 +40,22 @@ iteration; the edge table is untouched, so the 100 TB shape is identical.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Broadcast the node-sized side of every per-iteration PageRank join when
+#: the graph has at most this many nodes (known exactly on the driver —
+#: pagerank counts them anyway for 1/N).  Ranks/contrib rows are ~24 bytes,
+#: so 4M nodes ≈ 100 MB broadcast — comfortably inside executors; above the
+#: bound the joins fall back to the shuffled shape (pre-bucketing edges by
+#: src is the documented web-scale move).  Scale-ADAPTIVE by node count,
+#: not tuned to a core count (guide §3.1: pick the strategy deliberately
+#: when the real size is known and estimates are not).
+PAGERANK_BROADCAST_MAX_NODES = int(
+    os.environ.get("KENLM_PAGERANK_BROADCAST_MAX_NODES", "4000000")
+)
 
 # href="..." / href='...' — attribute form only, tag-agnostic (matches <a>,
 # <link>, <area>); the canonicalization/scheme filter composes downstream
@@ -110,22 +124,41 @@ def pagerank(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     ).distinct()
     e = e.persist()
+    # loop-invariant node table: persisted, NOT recomputed per iteration
+    # (r7: the union+distinct subtree used to re-execute inside every
+    # iteration's update join — 2 shuffles x n_iter for a fixed table)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     out_deg = e.groupBy("src").agg(F.count("*").cast("long").alias("out_deg"))
     e_deg = e.join(out_deg, "src").persist()
 
     n = nodes.count()
+    # node-sized sides (ranks, contrib, dangling set) are broadcast when
+    # the exact node count permits: the edge table then never shuffles in
+    # the iteration (BroadcastHashJoin on its cached partitions) — only
+    # the per-destination contribution aggregation exchanges, and those
+    # rows are (dst, decimal) pairs, not edges (guide §2.3/§3.1)
+    bcast = n <= PAGERANK_BROADCAST_MAX_NODES
+    _b = F.broadcast if bcast else (lambda df: df)
+    dang_nodes = None
+    if dangling == "redistribute":
+        # loop-invariant dangling-node SET (out_deg = 0): the per-iteration
+        # anti-join against out_deg collapses to a semi-join with this
+        # persisted node-sized table (r7; only the ranks values change)
+        dang_nodes = nodes.join(
+            out_deg, nodes.node == out_deg.src, "left_anti"
+        ).persist()
     base = 1.0 - damping  # teleport mass; divided by N in the update
     ranks = nodes.select(
         "node", F.round(F.lit(1.0) / F.lit(float(n)), 9).alias("rank")
     )
     for _ in range(n_iter):
         contrib = (
-            e_deg.join(ranks, e_deg.src == ranks.node)
+            e_deg.join(_b(ranks), e_deg.src == ranks.node)
             .select(
                 "dst",
                 F.round(F.col("rank") / F.col("out_deg"), 9)
@@ -139,7 +172,7 @@ def pagerank(
             # dsum over out-degree-0 nodes is an exact DECIMAL(38,9) sum
             # (ranks are round-9 doubles); ds is one scalar row, broadcast.
             dang = (
-                ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+                ranks.join(_b(dang_nodes), "node", "leftsemi")
                 .agg(
                     F.coalesce(
                         F.sum(F.col("rank").cast("decimal(38,9)")),
@@ -153,7 +186,7 @@ def pagerank(
                 )
             )
             ranks = (
-                nodes.join(contrib, nodes.node == contrib.dst, "left")
+                nodes.join(_b(contrib), nodes.node == contrib.dst, "left")
                 .crossJoin(F.broadcast(dang))
                 .select(
                     "node",
@@ -170,7 +203,7 @@ def pagerank(
             )
         else:
             ranks = nodes.join(
-                contrib, nodes.node == contrib.dst, "left"
+                _b(contrib), nodes.node == contrib.dst, "left"
             ).select(
                 "node",
                 F.round(
@@ -182,7 +215,9 @@ def pagerank(
             )
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
-    ranks.cached_deps = [e, e_deg]
+    ranks.cached_deps = [e, e_deg, nodes] + (
+        [dang_nodes] if dang_nodes is not None else []
+    )
     return ranks
 
 

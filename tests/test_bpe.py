@@ -44,8 +44,22 @@ def test_word_counts(spark, wc):
 
 def test_train_matches_sequential_reference(spark, wc):
     want = bpe_train_py(_wc_py(), 12)
-    got = bpe_train(wc, 12)
+    got = bpe_train(wc, 12)  # default: local hybrid path (vocab under cap)
     assert got == want
+
+
+def test_train_distributed_path_matches_sequential(spark, wc):
+    # local_max_words=0 forces the distributed per-round path; it must
+    # produce the identical merge list (r7 hybrid regression guard)
+    want = bpe_train_py(_wc_py(), 12)
+    assert bpe_train(wc, 12, local_max_words=0) == want
+
+
+def test_train_cap_overflow_falls_back_to_distributed(spark, wc):
+    # cap smaller than the vocabulary: the bounded collect must NOT
+    # truncate training — the distributed path takes over, same result
+    want = bpe_train_py(_wc_py(), 6)
+    assert bpe_train(wc, 6, local_max_words=2) == want
 
 
 def test_sennrich_toy_merges(spark, wc):
