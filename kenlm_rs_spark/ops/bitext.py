@@ -37,10 +37,19 @@ argmax ranking needs no tolerance band.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # module-level: pandas_udf resolves type hints here
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import cosine_similarity_col, hyperplane_signature_col
+from .similarity import (
+    _seq_dot_rows,
+    _stack,
+    jvm_sin_plane_matrix,
+    make_cosine_pairs_udf,
+    make_projections_udf,
+    signature_from_projections,
+)
 
 
 def mine_bitext(
@@ -63,12 +72,62 @@ def mine_bitext(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("svec"))
-    t = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("tvec"))
 
-    pairs = s.join(F.broadcast(t)).select(
-        "src_id",
-        "tgt_id",
-        cosine_similarity_col(F.col("svec"), F.col("tvec")).alias("cos"),
+    # r7: the target snapshot was ALREADY driver-collected for the broadcast
+    # block join; ship the same model-sized matrix into ONE Arrow kernel and
+    # emit each source row's full cosine list instead of scoring |src|x|tgt|
+    # joined rows with the interpreted HOF fold (the measured dominant cost)
+    # and shipping every target vector once per pair.  Each cosine is the
+    # identical sequential fold; NULL-on-zero-norm preserved; posexplode
+    # yields exactly the pair set of the former cross join.
+    t_type = tgt.schema[vec_col].dataType.elementType.simpleString()
+    np_t = np.float32 if t_type == "float" else np.float64
+    tid_type = tgt.schema[id_col].dataType
+    t_rows = tgt.select(
+        F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("tvec")
+    ).collect()
+    if not t_rows:  # empty target snapshot -> empty pair set, like the join
+        pairs = s.select(
+            "src_id",
+            F.lit(None).cast(tid_type).alias("tgt_id"),
+            F.lit(None).cast("double").alias("cos"),
+        ).filter(F.lit(False))
+        return _margin_select(pairs, k, threshold)
+    tgt_ids = [r["tgt_id"] for r in t_rows]
+    T = np.array([list(r["tvec"]) for r in t_rows], dtype=np_t)
+    tnorm = np.sqrt(_seq_dot_rows(T, T))
+
+    @F.pandas_udf("array<double>")
+    def cos_row(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = _stack(vecs)
+        acc = np.zeros((V.shape[0], T.shape[0]), dtype=np.float64)
+        for d in range(V.shape[1]):
+            acc += V[:, d][:, None] * T[:, d][None, :]
+        vnorm = np.sqrt(_seq_dot_rows(V, V))
+        den = vnorm[:, None] * tnorm[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = acc / den
+        if (den == 0.0).any():
+            mask = den == 0.0
+            return pd.Series(
+                [
+                    [None if m else float(x) for x, m in zip(row, mrow)]
+                    for row, mrow in zip(cos, mask)
+                ]
+            )
+        return pd.Series(list(cos))
+
+    tid_arr = F.array(*[F.lit(i).cast(tid_type) for i in tgt_ids])
+    pairs = (
+        s.withColumn("_ca", cos_row(F.col("svec")))
+        .select("src_id", F.posexplode("_ca").alias("_ti", "cos"))
+        .select(
+            "src_id",
+            F.element_at(tid_arr, F.col("_ti") + 1).alias("tgt_id"),
+            "cos",
+        )
     )
     return _margin_select(pairs, k, threshold)
 
@@ -101,15 +160,23 @@ def mine_bitext_lsh(
     §3.2 use exactly this approximation at scale)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # r7: projections via the Arrow kernel (one pass for all T*b planes; the
+    # interpreted expression also re-evaluated the sin plane matrix per row),
+    # sign tests/bit assembly JVM-side, candidate cosines via the pairwise
+    # Arrow kernel — all bit-identical to the former HOF folds.
+    H = jvm_sin_plane_matrix(
+        src.sparkSession, dim, planes_per_table,
+        tuple(t * planes_per_table for t in range(n_tables)),
+    )
+    pudf = make_projections_udf(H)
 
     def _sigs(df, idc, out_id, out_vec):
         sig_arr = F.array(
             *[
                 F.struct(
                     F.lit(t).alias("tbl"),
-                    hyperplane_signature_col(
-                        F.col(out_vec), dim, planes_per_table,
-                        plane_offset=t * planes_per_table,
+                    signature_from_projections(
+                        F.col("_pr"), planes_per_table, table_idx=t
                     ).alias("sig"),
                 )
                 for t in range(n_tables)
@@ -117,12 +184,14 @@ def mine_bitext_lsh(
         )
         return (
             df.select(F.col(idc).alias(out_id), F.col(vec_col).alias(out_vec))
+            .withColumn("_pr", pudf(F.col(out_vec)))
             .withColumn("ts", F.explode(sig_arr))
             .select(out_id, out_vec, "ts.tbl", "ts.sig")
         )
 
     s = _sigs(src, id_col, "src_id", "svec")
     t = _sigs(tgt, id_col, "tgt_id", "tvec")
+    cos_pairs = make_cosine_pairs_udf()
     cand = (
         s.join(t, ["tbl", "sig"])
         # a pair colliding in several tables is scored once, not T times
@@ -130,7 +199,7 @@ def mine_bitext_lsh(
         .select(
             "src_id",
             "tgt_id",
-            cosine_similarity_col(F.col("svec"), F.col("tvec")).alias("cos"),
+            cos_pairs(F.col("svec"), F.col("tvec")).alias("cos"),
         )
     )
     return _margin_select(cand, k, threshold)

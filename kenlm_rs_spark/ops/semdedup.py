@@ -40,9 +40,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kenlm_rs_spark.ops.similarity import (
-    best_cluster_col,
-    cosine_similarity_col,
-    sampled_centroid_array,
+    best_cluster_from_cosines,
+    make_centroid_cosines_udf,
+    make_cosine_pairs_udf,
+    sampled_centroids,
 )
 
 
@@ -85,10 +86,20 @@ def semdedup(
 
     Cast the vector column to array<double> upstream for engine-exact
     cosines (the q_ivf_ann discipline)."""
-    cent_arr = sampled_centroid_array(df, centroid_stride, id_col, vec_col)
+    # r7: cluster assignment + pairwise verify via the Arrow sequential-fold
+    # kernels (bit-equal to the interpreted HOF folds; round-9 argmax and
+    # the threshold compare stay JVM-side) — the interpreted O(C*d)-per-row
+    # assignment and O(d)-per-pair verify were the measured dominant cost
+    cents = sampled_centroids(df, centroid_stride, id_col, vec_col)
+    cent_cos = make_centroid_cosines_udf(cents)
     corpus = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
-    ).withColumn("cluster", best_cluster_col(cent_arr, F.col("vec")))
+    ).withColumn(
+        "cluster",
+        best_cluster_from_cosines(
+            cent_cos(F.col("vec")), [cid for cid, _ in cents]
+        ),
+    )
 
     a = corpus.select(
         F.col("vid").alias("a_id"),
@@ -96,6 +107,7 @@ def semdedup(
         F.col("cluster").alias("a_cluster"),
     )
     b = cluster_candidates(corpus, max_candidates)
+    cos_pairs = make_cosine_pairs_udf()
     dup = (
         a.join(
             b,
@@ -103,9 +115,7 @@ def semdedup(
             & (F.col("b_id") < F.col("a_id")),
         )
         .filter(
-            F.round(
-                cosine_similarity_col(F.col("a_vec"), F.col("b_vec")), 9
-            )
+            F.round(cos_pairs(F.col("a_vec"), F.col("b_vec")), 9)
             >= F.lit(float(threshold))
         )
         .groupBy("a_id")

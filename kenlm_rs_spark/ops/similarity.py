@@ -22,8 +22,69 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # module-level: pandas_udf resolves type hints here
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------- Arrow kernels (r7)
+#
+# The interpreted higher-order-function fold (F.aggregate over zip_with) costs
+# ~1 interpreted expression eval per array element per op — measured as the
+# dominant cost of every embedding query (CLAUDE.md: Arrow pandas UDF 1.2 s vs
+# zip_with chain 14.5 s for per-element array work; guide §4.2).  These NumPy
+# kernels reproduce the fold BIT-EXACTLY: `acc += A[:, d] * B[:, d]` performs,
+# per (row, d), one IEEE multiply in the COMMON INPUT TYPE (f32*f32 stays f32,
+# anything-with-f64 widens — NumPy array-array promotion matches Spark's SQL
+# numeric promotion) followed by one f64 add, in ascending dimension order —
+# the identical operation sequence of the interpreted
+# `aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)`.
+# All round()/compare/argmax logic STAYS JVM-side on the kernel outputs, so
+# no Python/JVM rounding-parity question ever arises.
+
+
+def _stack(series: pd.Series) -> np.ndarray:
+    """Series of fixed-length vectors -> (n, d) matrix, dtype preserved
+    (list<float> arrives as float32 ndarrays, list<double> as float64)."""
+    return np.array(list(series))
+
+
+def _seq_dot_rows(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-wise sequential-fold dot product (see block comment above)."""
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for d in range(A.shape[1]):
+        acc += A[:, d] * B[:, d]
+    return acc
+
+
+def _cos_with_nulls(dot, den, out_len):
+    """cosine = dot/den with NULL (not NaN) where den == 0.0 — the
+    cosine_similarity_col zero-norm contract."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = dot / den
+    mask = den == 0.0
+    if mask.any():
+        s = pd.Series(pd.array(out, dtype="Float64"))
+        s[mask] = pd.NA
+        return s
+    return pd.Series(out)
+
+
+def make_cosine_pairs_udf():
+    """pandas UDF (a_vec, b_vec) -> cosine double, bit-equal to
+    cosine_similarity_col (NULL on zero-norm side) but vectorized."""
+
+    @F.pandas_udf("double")
+    def cos_pairs(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A, B = _stack(a), _stack(b)
+        dot = _seq_dot_rows(A, B)
+        den = np.sqrt(_seq_dot_rows(A, A)) * np.sqrt(_seq_dot_rows(B, B))
+        return _cos_with_nulls(dot, den, len(a))
+
+    return cos_pairs
 
 
 def _dot(a, b):
@@ -38,6 +99,117 @@ def _norm(a):
     return F.sqrt(
         F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
     )
+
+
+def make_centroid_cosines_udf(cents: list):
+    """pandas UDF vec -> array<double> of cosines against every centroid of
+    ``cents`` ([(cid, [float, ...]), ...] in cid order), each element
+    bit-equal to cosine_similarity_col(vec, centroid-literal) (centroid
+    literals are doubles; a float32 corpus vector widens exactly, matching
+    the JVM's float*double promotion).  NULL elements where a norm is zero.
+    round/argmax stay JVM-side (best_cluster_from_cosines)."""
+    C = np.array([v for _, v in cents], dtype=np.float64)
+    cnorm = np.sqrt(_seq_dot_rows(C, C))
+
+    @F.pandas_udf("array<double>")
+    def cent_cos(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = _stack(vecs)
+        acc = np.zeros((V.shape[0], C.shape[0]), dtype=np.float64)
+        for d in range(V.shape[1]):
+            acc += V[:, d][:, None] * C[:, d][None, :]
+        vnorm = np.sqrt(_seq_dot_rows(V, V))
+        den = vnorm[:, None] * cnorm[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = acc / den
+        if (den == 0.0).any():
+            mask = den == 0.0
+            return pd.Series(
+                [
+                    [None if m else float(x) for x, m in zip(row, mrow)]
+                    for row, mrow in zip(cos, mask)
+                ]
+            )
+        return pd.Series(list(cos))
+
+    return cent_cos
+
+
+def best_cluster_from_cosines(cos_arr, cids: list):
+    """argmax cosine over a kernel-produced cosine array + the matching cid
+    list: identical round-9/tie-to-smallest-cid logic as best_cluster_col,
+    with the round and the struct max evaluated JVM-side."""
+    ncids = F.array(*[F.lit(-int(c)).cast("long") for c in cids])
+    return -F.array_max(
+        F.zip_with(
+            cos_arr,
+            ncids,
+            lambda c, n: F.struct(
+                F.round(c, 9).alias("cos"), n.alias("ncid")
+            ),
+        )
+    )["ncid"]
+
+
+_PLANE_MATRIX_MEMO: dict = {}
+
+
+def jvm_sin_plane_matrix(spark, dim: int, n_planes: int, plane_offsets):
+    """(len(plane_offsets)*n_planes, dim) float64 matrix of the hyperplane
+    components sin(d + (off + j)*dim) — computed BY THE JVM (one
+    constant-folded collect) so each value is bit-identical to what the
+    interpreted hyperplane_signature_col expression evaluates per row.
+    Memoized per (dim, n_planes, offsets): pure algorithm constants, no
+    input data involved."""
+    key = (dim, n_planes, tuple(plane_offsets))
+    hit = _PLANE_MATRIX_MEMO.get(key)
+    if hit is not None:
+        return hit
+    args = [
+        float(d + (off + j) * dim)
+        for off in plane_offsets
+        for j in range(n_planes)
+        for d in range(dim)
+    ]
+    row = spark.range(1).select(
+        F.array(*[F.sin(F.lit(a)) for a in args]).alias("h")
+    ).collect()[0]["h"]
+    H = np.array(row, dtype=np.float64).reshape(
+        len(plane_offsets) * n_planes, dim
+    )
+    _PLANE_MATRIX_MEMO[key] = H
+    return H
+
+
+def make_projections_udf(H: np.ndarray):
+    """pandas UDF vec -> array<double> of per-plane projections (H rows),
+    each bit-equal to the interpreted zip_with/aggregate fold: the JVM
+    widens a float vector element to double before multiplying by the
+    (double) sin component, hence the explicit astype."""
+
+    @F.pandas_udf("array<double>")
+    def projs(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = _stack(vecs).astype(np.float64, copy=False)
+        acc = np.zeros((V.shape[0], H.shape[0]), dtype=np.float64)
+        for d in range(V.shape[1]):
+            acc += V[:, d][:, None] * H[:, d][None, :]
+        return pd.Series(list(acc))
+
+    return projs
+
+
+def signature_from_projections(proj_col, n_planes: int, table_idx: int = 0):
+    """Assemble the n_planes-bit signature from a projections array column
+    (table_idx selects the plane block): identical round-9 sign test and
+    bit weights as hyperplane_signature_col, evaluated JVM-side."""
+    sig = F.lit(0)
+    for j in range(n_planes):
+        p = proj_col[table_idx * n_planes + j]
+        sig = sig + F.when(F.round(p, 9) > 0, F.lit(1 << j)).otherwise(0)
+    return sig
 
 
 def cosine_similarity_col(a, b):
@@ -68,9 +240,10 @@ def brute_force_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
     c = df.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
+    cos_pairs = make_cosine_pairs_udf()  # Arrow kernel, bit-equal (r7)
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
-        .withColumn("cosine", cosine_similarity_col(F.col("qvec"), F.col("cvec")))
+        .withColumn("cosine", cos_pairs(F.col("qvec"), F.col("cvec")))
         .select("query_id", "match_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -119,18 +292,28 @@ def lsh_ann_topk(
 
     At 10^12 scale the bucket join shuffles on the signature (uniform),
     reducing candidate pairs by ~2^n_planes versus brute force."""
-    sig = lambda v: hyperplane_signature_col(v, dim, n_planes)
-    q = query_df.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-    ).withColumn("sig", sig(F.col("qvec")))
-    c = df.select(
-        F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec")
-    ).withColumn("sig", sig(F.col("cvec")))
+    # r7: signatures via the Arrow projections kernel (the interpreted
+    # expression re-evaluated dim sins per plane PER ROW — the plane matrix
+    # is a constant, collected once from the JVM); the round-9 sign test and
+    # bit assembly stay JVM-side, bit-identical.
+    H = jvm_sin_plane_matrix(df.sparkSession, dim, n_planes, (0,))
+    pudf = make_projections_udf(H)
+
+    def with_sig(d, idc, out_id, out_vec):
+        return (
+            d.select(F.col(idc).alias(out_id), F.col(vec_col).alias(out_vec))
+            .withColumn("_pr", pudf(F.col(out_vec)))
+            .withColumn("sig", signature_from_projections(F.col("_pr"), n_planes))
+            .drop("_pr")
+        )
+
+    q = with_sig(query_df, id_col, "query_id", "qvec")
+    c = with_sig(df, id_col, "match_id", "cvec")
+    cos_pairs = make_cosine_pairs_udf()
     scored = (
         c.join(F.broadcast(q), "sig")
         .filter(F.col("query_id") != F.col("match_id"))
-        .withColumn("cosine", cosine_similarity_col(F.col("qvec"), F.col("cvec")))
+        .withColumn("cosine", cos_pairs(F.col("qvec"), F.col("cvec")))
         .select("query_id", "match_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
@@ -170,26 +353,38 @@ def embedding_near_dup_pairs(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    # r7: all T*b projections in ONE Arrow kernel pass per vector (the
+    # dominant cost used to be T x b interpreted dim-element folds per row,
+    # with the sin plane matrix re-evaluated per row on top); the round-9
+    # sign tests and bit assembly stay JVM-side, bit-identical
+    H = jvm_sin_plane_matrix(
+        df.sparkSession, dim, planes_per_table,
+        tuple(t * planes_per_table for t in range(n_tables)),
+    )
+    pudf = make_projections_udf(H)
     # one struct per table -> explode: each vector emits T (table, sig) rows
     sigs = F.array(
         *[
             F.struct(
                 F.lit(t).alias("tbl"),
-                hyperplane_signature_col(
-                    F.col("vec"), dim, planes_per_table,
-                    plane_offset=t * planes_per_table,
+                signature_from_projections(
+                    F.col("_pr"), planes_per_table, table_idx=t
                 ).alias("sig"),
             )
             for t in range(n_tables)
         ]
     )
-    # cached: the hyperplane signatures (T x b interpreted dot products per
-    # vector, the dominant cost) feed BOTH sides of the self-join, and
-    # Catalyst does not reuse the subtree across them (.explain: 4 scans
-    # without the cache)
-    exploded = base.withColumn("ts", F.explode(sigs)).select(
-        "vid", "vec", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig")
-    ).cache()
+    # cached: the projections feed BOTH sides of the self-join, and Catalyst
+    # does not reuse the subtree across them (.explain: 4 scans without the
+    # cache)
+    exploded = (
+        base.withColumn("_pr", pudf(F.col("vec")))
+        .withColumn("ts", F.explode(sigs))
+        .select(
+            "vid", "vec", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig")
+        )
+        .cache()
+    )
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(
@@ -207,10 +402,9 @@ def embedding_near_dup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    cos_pairs = make_cosine_pairs_udf()
     out = (
-        cand.withColumn(
-            "cosine", cosine_similarity_col(F.col("vec_a"), F.col("vec_b"))
-        )
+        cand.withColumn("cosine", cos_pairs(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -220,17 +414,16 @@ def embedding_near_dup_pairs(
     return out
 
 
-def sampled_centroid_array(
+def sampled_centroids(
     df: DataFrame,
     centroid_stride: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-):
-    """Literal array<struct<cid,cvec>> of the deterministic modulo-sampled
-    coarse quantizer (id % stride == 0). float32 parquet values are exactly
-    representable as double literals, so both engines see identical
-    centroid coordinates. MODEL-sized collect (C ~ sqrt(N) by stride
-    choice); shared by ivf_ann_topk and ops/semdedup.py."""
+) -> list:
+    """The deterministic modulo-sampled coarse quantizer (id % stride == 0)
+    as a collected [(cid, [float, ...]), ...] list in cid order. MODEL-sized
+    collect (C ~ sqrt(N) by stride choice); shared by ivf_ann_topk,
+    ops/semdedup.py and sampled_centroid_array."""
     cents = sorted(
         (r[0], list(r[1]))
         for r in df.filter((F.col(id_col) % centroid_stride) == 0)
@@ -239,6 +432,19 @@ def sampled_centroid_array(
     )
     if not cents:
         raise ValueError("centroid_stride sampled zero centroids")
+    return cents
+
+
+def sampled_centroid_array(
+    df: DataFrame,
+    centroid_stride: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Literal array<struct<cid,cvec>> of the sampled quantizer. float32
+    parquet values are exactly representable as double literals, so both
+    engines see identical centroid coordinates."""
+    cents = sampled_centroids(df, centroid_stride, id_col, vec_col)
     return F.array(
         *[
             F.struct(
@@ -295,20 +501,26 @@ def ivf_ann_topk(
 
     Scale shape (100 TB): centroids are MODEL-sized (n_centroids ~ sqrt(N),
     picked by sampling ids at the right stride), collected once and inlined
-    as a literal array, so corpus->list assignment is a NARROW projection —
-    one fold over the centroid array per row, no shuffle, no Python. The
-    probe table (|queries| x n_probe rows) is broadcast; the candidate join
-    is a broadcast hash join on cluster id, so the corpus still never
-    shuffles — only the candidate set (~ n_probe/n_centroids of the corpus)
-    moves for the per-query top-k. The O(C*d) per-row assignment runs in
-    interpreted HOF land; at C beyond a few hundred, swap the fold for an
-    Arrow pandas UDF doing one (batch x d) @ (d x C) matmul (the measured
-    HOF-vs-Arrow tradeoff in CLAUDE.md)."""
-    cent_arr = sampled_centroid_array(df, centroid_stride, id_col, vec_col)
+    as a closure constant, so corpus->list assignment is a NARROW
+    projection — ONE Arrow kernel pass per batch (r7: the interpreted
+    O(C*d) per-row HOF fold was the measured dominant cost; the kernel
+    computes the identical sequential-fold cosines vectorized and the
+    round-9 argmax stays JVM-side, best_cluster_from_cosines). The probe
+    table (|queries| x n_probe rows) is broadcast; the candidate join is a
+    broadcast hash join on cluster id, so the corpus still never shuffles —
+    only the candidate set (~ n_probe/n_centroids of the corpus) moves for
+    the per-query top-k."""
+    cents = sampled_centroids(df, centroid_stride, id_col, vec_col)
+    cent_cos = make_centroid_cosines_udf(cents)
 
     corpus = df.select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec")
-    ).withColumn("cluster", best_cluster_col(cent_arr, F.col("cvec")))
+    ).withColumn(
+        "cluster",
+        best_cluster_from_cosines(
+            cent_cos(F.col("cvec")), [cid for cid, _ in cents]
+        ),
+    )
 
     # probe lists for the (tiny) query side via the centroid DataFrame —
     # broadcast cross join, |queries| x n_centroids rows
@@ -332,12 +544,11 @@ def ivf_ann_topk(
         .select("query_id", "qvec", F.col("cid").alias("cluster"))
     )
 
+    cos_pairs = make_cosine_pairs_udf()
     scored = (
         corpus.join(F.broadcast(probes), "cluster")
         .filter(F.col("query_id") != F.col("match_id"))
-        .withColumn(
-            "cosine", cosine_similarity_col(F.col("qvec"), F.col("cvec"))
-        )
+        .withColumn("cosine", cos_pairs(F.col("qvec"), F.col("cvec")))
         .select("query_id", "match_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))

@@ -163,9 +163,11 @@ def test_topic_tag_broadcasts_dictionary(spark):
     assert "CartesianProduct" not in p
 
 
-def test_bitext_candidate_stage_broadcasts(spark):
-    """The brute-force candidate block join broadcasts the target side
-    (the pluggable stage); no shuffle-side cartesian."""
+def test_bitext_candidate_stage_arrow_kernel(spark):
+    """r7: the brute-force candidate stage scores each source row against
+    the (model-sized, driver-collected) target matrix in ONE Arrow kernel
+    and explodes — the |src| x |tgt| join carrying both vectors per row is
+    gone entirely: no nested-loop/cartesian join anywhere in the plan."""
     from kenlm_rs_spark.ops.bitext import mine_bitext
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
@@ -177,7 +179,8 @@ def test_bitext_candidate_stage_broadcasts(spark):
         k=3,
     )
     p = _plan(q)
-    assert "BroadcastNestedLoopJoin" in p
+    assert "ArrowEvalPython" in p
+    assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
 
 
