@@ -139,6 +139,10 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # r7: the changed-count used to be a separate join of new vs old
+        # labels (one extra shuffle join per round); the old component is
+        # already on the row here, so carry a change flag through the
+        # checkpoint and count it off the cached partitions instead
         new_labels = (
             labels.join(nbr_min, labels.node == nbr_min.src, "left")
             .select(
@@ -147,16 +151,15 @@ def connected_components(
                     F.col("component"),
                     F.coalesce("nbr_component", F.col("component")),
                 ).alias("component"),
+                (
+                    F.coalesce("nbr_component", F.col("component"))
+                    < F.col("component")
+                ).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             return labels
     # Propagation stalled on a long-diameter graph: escalate to

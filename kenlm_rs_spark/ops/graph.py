@@ -156,7 +156,7 @@ def pagerank(
     ranks = nodes.select(
         "node", F.round(F.lit(1.0) / F.lit(float(n)), 9).alias("rank")
     )
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contrib = (
             e_deg.join(_b(ranks), e_deg.src == ranks.node)
             .select(
@@ -213,7 +213,17 @@ def pagerank(
                     9,
                 ).alias("rank"),
             )
-        if checkpoint:
+        # r7 (measured A/B on sf0.1): the dangling path references ranks
+        # TWICE per iteration (contribution join + dangling-mass fold), so
+        # without per-iteration truncation the plan/evaluation doubles per
+        # round (5 iters unchecked: 22.9 s vs 5.1-7.6 s).  The plain path
+        # references ranks once — its lineage is a linear chain, and the
+        # per-iteration checkpoint was pure materialization overhead
+        # (8.0 s -> 5.9 s without); truncate every 8th round only, which
+        # bounds plan depth for large n_iter.
+        if checkpoint and (
+            dangling == "redistribute" or (it + 1) % 8 == 0
+        ):
             ranks = ranks.localCheckpoint(eager=False)
     ranks.cached_deps = [e, e_deg, nodes] + (
         [dang_nodes] if dang_nodes is not None else []
