@@ -1359,11 +1359,17 @@ def q_cms_counts(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     tok = docs.select(F.explode(ts.tokens_col(F.col("text"))).alias("token"))
+    # r7: ONE tokenize pass — the sketch is linear, so building it from the
+    # aggregated (token, count) table with weight_col gives cell-identical
+    # results while hashing each DISTINCT token once instead of every
+    # occurrence; the cached vocab-sized table feeds both consumers
     counts = tok.groupBy("token").agg(
         F.count("*").cast("long").alias("true_count")
-    )
+    ).cache()
     queried = counts.filter(F.col("true_count") >= 20)
-    sketch = cms_build(tok, "token", width=1024, depth=4)
+    sketch = cms_build(
+        counts, "token", width=1024, depth=4, weight_col="true_count"
+    )
     return cms_estimate(queried, sketch, "token", width=1024, depth=4)
 
 
@@ -1747,7 +1753,11 @@ def q_dedup_normalize(spark, sf_dir):
             (F.col("doc_id") + 1000000).alias("doc_id"), variant.alias("text")
         )
     )
-    keyed = both.select("doc_id", dedup_key(F.col("text")).alias("key"))
+    # r7: cached — keyed feeds the first-id aggregate AND the join; the
+    # dedup_key regexp chain is the dominant cost and would run twice
+    keyed = both.select(
+        "doc_id", dedup_key(F.col("text")).alias("key")
+    ).cache()
     first = keyed.groupBy("key").agg(F.min("doc_id").alias("first_id"))
     return keyed.join(first, "key").select(
         "doc_id",
@@ -1877,9 +1887,11 @@ def q_hll_distinct(spark, sf_dir):
     from kenlm_rs_spark.ops.hll import hll_distinct
 
     docs = _docs(spark, sf_dir)
+    # r7: cached — the token stream feeds the HLL registers AND the exact
+    # countDistinct; tokenize would otherwise run twice
     tok = docs.select(
         "lang", F.explode(ts.tokens_col(F.col("text"))).alias("token")
-    )
+    ).cache()
     est = hll_distinct(tok, "token", group_cols=["lang"])
     true = tok.groupBy("lang").agg(
         F.countDistinct("token").cast("long").alias("n_true")

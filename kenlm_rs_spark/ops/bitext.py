@@ -120,6 +120,7 @@ def mine_bitext(
         return pd.Series(list(cos))
 
     tid_arr = F.array(*[F.lit(i).cast(tid_type) for i in tgt_ids])
+    cos_row = cos_row.asNondeterministic()  # guide §4.4: no kernel cloning
     pairs = (
         s.withColumn("_ca", cos_row(F.col("svec")))
         .select("src_id", F.posexplode("_ca").alias("_ti", "cos"))
@@ -218,21 +219,38 @@ def _margin_select(pairs: DataFrame, k: int, threshold: float) -> DataFrame:
     w_t = Window.partitionBy("tgt_id").orderBy(
         F.desc_nulls_last("cos"), "src_id"
     )
-    ranked = (
+    # r7 (two changes, measured together):
+    # 1. `pairs` is cached — it feeds both rank branches, and Catalyst does
+    #    not reuse the candidate-kernel subtree across DataFrame references
+    #    (.explain showed it re-evaluated up to 24x pre-cache).
+    # 2. The combined (rs <= k OR rt <= k) filter over one doubly-windowed
+    #    table is split into per-side rank branches: a DISJUNCTION blocks
+    #    Spark 4's WindowGroupLimit rewrite, so both windows fully sorted
+    #    all |src| x |tgt| rows; with one row_number + its own rank filter
+    #    per branch, the optimizer inserts map-side group limits and each
+    #    shuffle carries ~k rows per id instead of the full pair table.
+    #    Equivalence: every src has a rank-1 row, so nn_s/nn_t cover every
+    #    id and the margin joins drop nothing; fwd consumed only rs<=k rows
+    #    and bwd only rt<=k rows, which is exactly ranked_s / ranked_t.
+    pairs = pairs.cache()
+    ranked_s = (
         pairs.withColumn("rs", F.row_number().over(w_s))
-        .withColumn("rt", F.row_number().over(w_t))
-        .filter((F.col("rs") <= k) | (F.col("rt") <= k))
+        .filter(F.col("rs") <= k)
+        .cache()
+    )
+    ranked_t = (
+        pairs.withColumn("rt", F.row_number().over(w_t))
+        .filter(F.col("rt") <= k)
+        .cache()
     )
 
     cos_dec = F.round("cos", 6).cast("decimal(38,9)")
     nn_s = (
-        ranked.filter(F.col("rs") <= k)
-        .groupBy("src_id")
+        ranked_s.groupBy("src_id")
         .agg(F.sum(cos_dec).alias("ssum"), F.count(F.lit(1)).alias("scnt"))
     )
     nn_t = (
-        ranked.filter(F.col("rt") <= k)
-        .groupBy("tgt_id")
+        ranked_t.groupBy("tgt_id")
         .agg(F.sum(cos_dec).alias("tsum"), F.count(F.lit(1)).alias("tcnt"))
     )
     # the ratio margin is UNDEFINED when the pooled neighbourhood mean is
@@ -244,13 +262,14 @@ def _margin_select(pairs: DataFrame, k: int, threshold: float) -> DataFrame:
         F.col("ssum").cast("double") / F.col("scnt")
         + F.col("tsum").cast("double") / F.col("tcnt")
     ) / F.lit(2.0)
-    margin = (
-        ranked.join(nn_s, "src_id")
-        .join(nn_t, "tgt_id")
-        .withColumn(
-            "margin", F.when(denom != 0.0, F.col("cos") / denom)
+    def _margin_of(r):
+        return (
+            r.join(nn_s, "src_id")
+            .join(nn_t, "tgt_id")
+            .withColumn(
+                "margin", F.when(denom != 0.0, F.col("cos") / denom)
+            )
         )
-    )
     w_ms = Window.partitionBy("src_id").orderBy(
         F.desc_nulls_last("margin"), "tgt_id"
     )
@@ -258,18 +277,18 @@ def _margin_select(pairs: DataFrame, k: int, threshold: float) -> DataFrame:
         F.desc_nulls_last("margin"), "src_id"
     )
     fwd = (
-        margin.filter(F.col("rs") <= k)
+        _margin_of(ranked_s)
         .withColumn("mr", F.row_number().over(w_ms))
         .filter(F.col("mr") == 1)
         .select("src_id", "tgt_id", "cos", "margin")
     )
     bwd = (
-        margin.filter(F.col("rt") <= k)
+        _margin_of(ranked_t)
         .withColumn("mr", F.row_number().over(w_mt))
         .filter(F.col("mr") == 1)
         .select("src_id", "tgt_id")
     )
-    return (
+    out = (
         fwd.join(bwd, ["src_id", "tgt_id"])
         .filter(F.col("margin") >= F.lit(float(threshold)))
         .select(
@@ -279,6 +298,10 @@ def _margin_select(pairs: DataFrame, k: int, threshold: float) -> DataFrame:
             F.round("margin", 6).alias("margin"),
         )
     )
+    # unpersist handle for long-lived sessions (the repo's cached_deps
+    # contract): the caches must outlive this lazy plan
+    out.cached_deps = [pairs, ranked_s, ranked_t]
+    return out
 
 
 def mine_bitext_sql(

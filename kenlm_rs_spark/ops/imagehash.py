@@ -175,6 +175,11 @@ def hash_dedup_clusters(
         raise ValueError(f"bands={bands} must divide 64")
     width = 64 // bands
 
+    # r7: cached — clusters feeds BOTH banded self-join sides and the final
+    # join-back, and without the cache the whole upstream chain (including
+    # the per-image DECODE inside perceptual_hashes' mapInPandas) re-executes
+    # once per reference (no Catalyst CSE across DataFrame reuse).  The
+    # table is distinct-hash-sized: tiny relative to the payloads.
     clusters = (
         hashes.filter(F.col(hash_col).isNotNull())
         .groupBy(F.col(hash_col).alias("h"))
@@ -182,7 +187,7 @@ def hash_dedup_clusters(
             F.count("*").alias("cluster_size"),
             F.min("doc_id").alias("rep_doc"),
         )
-    )
+    ).cache()
     band_arr = F.array(
         *[
             F.struct(
@@ -208,7 +213,7 @@ def hash_dedup_clusters(
         .filter(_hamming64(F.col("h"), F.col("g")) <= max_hamming)
     )
     neigh = pairs.groupBy("h").agg(F.count("*").alias("near_neighbors"))
-    return (
+    out = (
         clusters.join(neigh, "h", "left")
         .select(
             F.col("h").alias(hash_col),
@@ -217,3 +222,6 @@ def hash_dedup_clusters(
             F.coalesce("near_neighbors", F.lit(0)).alias("near_neighbors"),
         )
     )
+    # unpersist handle for long-lived sessions (cached_deps contract)
+    out.cached_deps = [clusters]
+    return out

@@ -100,6 +100,10 @@ def token_budget_mix_two_phase(
         token_count(F.col(text_col)).cast("long").alias("tokens"),
         F.md5(F.col(id_col).cast("string")).alias("_k"),
     ).withColumn("_bucket", F.substring("_k", 1, bucket_chars))
+    # r7: cached — base (narrow: id/grp/tokens/key, no text) feeds the
+    # phase-1 stats collect AND both phase-2 branches; without the cache
+    # the tokenize (token_count) re-runs once per reference
+    base = base.cache()
     stats = base.groupBy("grp", "_bucket").agg(
         F.sum("tokens").alias("btoks")
     ).collect()
@@ -152,9 +156,12 @@ def token_budget_mix_two_phase(
         )
         .select("doc_id", "grp", "tokens", "mix_keep")
     )
-    return fast.union(win).select(
+    out = fast.union(win).select(
         "doc_id", F.col("grp").alias("group"), "tokens", "mix_keep"
     )
+    # unpersist handle for long-lived sessions (cached_deps contract)
+    out.cached_deps = [base]
+    return out
 
 
 def dyadic_sqrt_depths(alpha: float, max_depth: int = 6) -> list[int] | None:

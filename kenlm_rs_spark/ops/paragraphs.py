@@ -58,9 +58,12 @@ def paragraph_dedup(
     when one boilerplate line repeats 10^9 times, since the window only
     needs the per-hash MINIMUM, an agg+join, not a full sort); reassembly
     is one groupBy(doc_id). Returns (doc_id, n_paras, n_kept, text_clean)."""
+    # r7: cached — the exploded paragraph table feeds the first-occurrence
+    # aggregate AND the join-back; Catalyst does not reuse the split+md5
+    # subtree across them (two full corpus passes without the cache)
     paras = split_paragraphs(df, id_col, text_col, sep).withColumn(
         "h", F.md5(F.col("para"))
-    )
+    ).cache()
     # first occurrence per hash = min struct(doc_id, para_idx) — an
     # aggregate, not a window sort, so a mega-duplicate hash costs O(n)
     firsts = paras.groupBy("h").agg(
@@ -71,7 +74,7 @@ def paragraph_dedup(
         (F.col("doc_id") == F.col("first.doc_id"))
         & (F.col("para_idx") == F.col("first.para_idx")),
     )
-    return (
+    out = (
         kept.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_paras"),
@@ -89,6 +92,9 @@ def paragraph_dedup(
             ).alias("text_clean"),
         )
     )
+    # unpersist handle for long-lived sessions (cached_deps contract)
+    out.cached_deps = [paras]
+    return out
 
 
 def paragraph_filter(
@@ -168,14 +174,15 @@ def remove_boilerplate_paragraphs(
     Returns (doc_id, n_paras, n_kept, n_boiler, text_clean)."""
     if max_count < 1:
         raise ValueError(f"max_count must be >= 1, got {max_count}")
+    # r7: cached — same two-consumer reuse as paragraph_dedup
     paras = split_paragraphs(df, id_col, text_col, sep).withColumn(
         "h", F.md5(F.col("para"))
-    )
+    ).cache()
     freq = paras.groupBy("h").agg(F.count("*").cast("long").alias("n_occ"))
     kept = paras.join(freq, "h").withColumn(
         "keep", F.col("n_occ") <= F.lit(int(max_count))
     )
-    return (
+    out = (
         kept.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_paras"),
@@ -194,3 +201,6 @@ def remove_boilerplate_paragraphs(
         )
         .withColumn("n_boiler", (F.col("n_paras") - F.col("n_kept")))
     )
+    # unpersist handle for long-lived sessions (cached_deps contract)
+    out.cached_deps = [paras]
+    return out

@@ -40,8 +40,15 @@ def doc_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     tf = toks.groupBy("doc_id", "term").agg(
         F.count("*").cast("long").alias("tf")
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
-    return tf.join(dl, "doc_id")
+    # r7 (guide §2.4): dl = Σ tf per doc — identical to counting the raw
+    # token stream, but derived from the already-aggregated tf table via a
+    # window sum, so the corpus tokenize+explode runs ONCE instead of twice
+    # (the second groupBy re-executed the whole scan subtree; Catalyst does
+    # not CSE it).  Callers that never read dl (inverted_index) get the
+    # window pruned away entirely.
+    return tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
+    )
 
 
 def inverted_index(

@@ -92,6 +92,9 @@ def semdedup(
     # assignment and O(d)-per-pair verify were the measured dominant cost
     cents = sampled_centroids(df, centroid_stride, id_col, vec_col)
     cent_cos = make_centroid_cosines_udf(cents)
+    # cached: the assigned corpus feeds BOTH self-join sides and the final
+    # left join, and Catalyst does not reuse the assignment kernel subtree
+    # across them (.explain: the ArrowEvalPython node repeated per branch)
     corpus = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     ).withColumn(
@@ -99,7 +102,7 @@ def semdedup(
         best_cluster_from_cosines(
             cent_cos(F.col("vec")), [cid for cid, _ in cents]
         ),
-    )
+    ).cache()
 
     a = corpus.select(
         F.col("vid").alias("a_id"),
@@ -121,7 +124,7 @@ def semdedup(
         .groupBy("a_id")
         .agg(F.min("b_id").alias("dup_of"))
     )
-    return (
+    out = (
         corpus.join(dup, corpus["vid"] == dup["a_id"], "left")
         .select(
             F.col("vid").alias(id_col),
@@ -130,3 +133,6 @@ def semdedup(
             F.col("dup_of").isNull().alias("is_kept"),
         )
     )
+    # unpersist handle for long-lived sessions (cached_deps contract)
+    out.cached_deps = [corpus]
+    return out

@@ -84,7 +84,10 @@ def make_cosine_pairs_udf():
         den = np.sqrt(_seq_dot_rows(A, A)) * np.sqrt(_seq_dot_rows(B, B))
         return _cos_with_nulls(dot, den, len(a))
 
-    return cos_pairs
+    # guide §4.4: marked non-deterministic so the optimizer cannot duplicate
+    # the (expensive) kernel below pushed/inferred filters — the function is
+    # in fact deterministic; the marker only constrains plan rewrites
+    return cos_pairs.asNondeterministic()
 
 
 def _dot(a, b):
@@ -133,7 +136,11 @@ def make_centroid_cosines_udf(cents: list):
             )
         return pd.Series(list(cos))
 
-    return cent_cos
+    # guide §4.4: non-deterministic marker stops Catalyst evaluating the
+    # kernel twice per reference (measured: InferFiltersFromConstraints
+    # pushed a cluster-derived filter below the repartition in ivf_ann_topk,
+    # re-running the whole assignment once per row just to drop nothing)
+    return cent_cos.asNondeterministic()
 
 
 def best_cluster_from_cosines(cos_arr, cids: list):
@@ -198,7 +205,8 @@ def make_projections_udf(H: np.ndarray):
             acc += V[:, d][:, None] * H[:, d][None, :]
         return pd.Series(list(acc))
 
-    return projs
+    # guide §4.4: see make_cosine_pairs_udf
+    return projs.asNondeterministic()
 
 
 def signature_from_projections(proj_col, n_planes: int, table_idx: int = 0):

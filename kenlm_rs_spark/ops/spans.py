@@ -47,6 +47,10 @@ def duplicated_span_stats(
     )
     if hashed:
         spans = spans.select("doc_id", F.xxhash64("span").alias("span"))
+    # r7: cached — the exploded span table feeds the global count AND the
+    # per-doc join-back, and Catalyst does not reuse the explode subtree
+    # across them (two full tokenize+ngram passes without the cache)
+    spans = spans.cache()
     counts = (
         spans.groupBy("span")
         .agg(F.count("*").alias("cnt"))
@@ -61,7 +65,7 @@ def duplicated_span_stats(
             F.sum(F.when(F.col("_dup"), 1).otherwise(0)).alias("n_dup_spans"),
         )
     )
-    return (
+    out = (
         df.select(F.col(id_col).alias("doc_id"))
         .join(per_doc, "doc_id", "left")
         .select(
@@ -74,6 +78,9 @@ def duplicated_span_stats(
             ).alias("dup_span_frac"),
         )
     )
+    # unpersist handle for long-lived sessions (cached_deps contract)
+    out.cached_deps = [spans]
+    return out
 
 
 def remove_duplicated_spans(
@@ -118,7 +125,9 @@ def remove_duplicated_spans(
     if hashed:
         spans = spans.select("doc_id", "pos", F.xxhash64("span").alias("span"))
     key = F.col("doc_id") * F.lit(1_000_000_000) + F.col("pos")
-    occ = spans.select("doc_id", "pos", "span", key.alias("k"))
+    # r7: cached — occ feeds the duplicate aggregate AND the starts join
+    # (same no-CSE reuse reasoning as duplicated_span_stats)
+    occ = spans.select("doc_id", "pos", "span", key.alias("k")).cache()
     dup = (
         occ.groupBy("span")
         .agg(F.count("*").alias("cnt"), F.min("k").alias("first_k"))
@@ -147,7 +156,7 @@ def remove_duplicated_spans(
         F.col(id_col).alias("doc_id"),
         F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
     )
-    return base.join(rebuilt, "doc_id", "left").select(
+    out = base.join(rebuilt, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         "n_tokens",
@@ -155,3 +164,6 @@ def remove_duplicated_spans(
         .cast("long")
         .alias("n_removed"),
     )
+    # unpersist handle for long-lived sessions (cached_deps contract)
+    out.cached_deps = [occ]
+    return out
