@@ -126,13 +126,17 @@ def connected_components(
         )
         .distinct()
     )
+    # r7: lazy checkpoints — each round's changed-count action materializes
+    # the round's checkpoint as part of its own job (eager=True ran one
+    # full extra job per table per round just to materialize; measured as
+    # half the rounds' wall time on the tiny label tables)
     labels = (
         e.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    e = e.localCheckpoint(eager=True)
+    e = e.localCheckpoint(eager=False)
     for _ in range(max_iter):
         nbr_min = (
             e.join(labels, e.dst == labels.node)
@@ -156,7 +160,7 @@ def connected_components(
                     < F.col("component")
                 ).alias("_chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("_chg")).count()
         labels = new_labels.select("node", "component")

@@ -63,4 +63,7 @@ def incremental_dedup(
     verified = maybe.join(
         seen_keys.withColumn("_seen", F.lit(True)), key_col, "left"
     ).select(*probed.columns, F.col("_seen").isNull().alias("is_new"))
+    # NOTE r7: caching seen_keys/probed for branch reuse was measured and
+    # REJECTED — materialization + lost filter fusion cost more than the
+    # repeated narrow scan at every tested size
     return negatives.unionByName(verified)
