@@ -22,6 +22,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd  # module-level: pandas_udf resolves type hints here
 from pyspark.sql import DataFrame, Window
@@ -42,6 +44,14 @@ from pyspark.sql import functions as F
 # `aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)`.
 # All round()/compare/argmax logic STAYS JVM-side on the kernel outputs, so
 # no Python/JVM rounding-parity question ever arises.
+
+
+#: Query-count crossover for brute_force_topk: at or below this, the
+#: interpreted broadcast-join scoring beats launching an Arrow stage
+#: (measured on local[32]; the crossover is about per-row interpreted work
+#: nq*dim vs fixed Arrow stage cost, so it is workload-shaped, not
+#: core-count-shaped).
+ARROW_MIN_QUERIES = int(os.environ.get("KENLM_ARROW_MIN_QUERIES", "64"))
 
 
 def _stack(series: pd.Series) -> np.ndarray:
@@ -104,26 +114,23 @@ def _norm(a):
     )
 
 
-def make_centroid_cosines_udf(cents: list):
-    """pandas UDF vec -> array<double> of cosines against every centroid of
-    ``cents`` ([(cid, [float, ...]), ...] in cid order), each element
-    bit-equal to cosine_similarity_col(vec, centroid-literal) (centroid
-    literals are doubles; a float32 corpus vector widens exactly, matching
-    the JVM's float*double promotion).  NULL elements where a norm is zero.
-    round/argmax stay JVM-side (best_cluster_from_cosines)."""
-    C = np.array([v for _, v in cents], dtype=np.float64)
-    cnorm = np.sqrt(_seq_dot_rows(C, C))
+def make_matrix_cosines_udf(M, row_norms=None):
+    """pandas UDF vec -> array<double>: cosine of the input vector against
+    every row of the (model-sized, closure-shipped) matrix ``M``, each
+    element the bit-exact sequential fold (NULL on a zero-norm side).
+    Shared by mine_bitext, brute_force_topk and the centroid assignment."""
+    Mnorm = np.sqrt(_seq_dot_rows(M, M)) if row_norms is None else row_norms
 
     @F.pandas_udf("array<double>")
-    def cent_cos(vecs: pd.Series) -> pd.Series:
+    def mat_cos(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         V = _stack(vecs)
-        acc = np.zeros((V.shape[0], C.shape[0]), dtype=np.float64)
+        acc = np.zeros((V.shape[0], M.shape[0]), dtype=np.float64)
         for d in range(V.shape[1]):
-            acc += V[:, d][:, None] * C[:, d][None, :]
+            acc += V[:, d][:, None] * M[:, d][None, :]
         vnorm = np.sqrt(_seq_dot_rows(V, V))
-        den = vnorm[:, None] * cnorm[None, :]
+        den = vnorm[:, None] * Mnorm[None, :]
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = acc / den
         if (den == 0.0).any():
@@ -136,11 +143,19 @@ def make_centroid_cosines_udf(cents: list):
             )
         return pd.Series(list(cos))
 
-    # guide §4.4: non-deterministic marker stops Catalyst evaluating the
-    # kernel twice per reference (measured: InferFiltersFromConstraints
-    # pushed a cluster-derived filter below the repartition in ivf_ann_topk,
-    # re-running the whole assignment once per row just to drop nothing)
-    return cent_cos.asNondeterministic()
+    # guide §4.4: see make_cosine_pairs_udf
+    return mat_cos.asNondeterministic()
+
+
+def make_centroid_cosines_udf(cents: list):
+    """pandas UDF vec -> array<double> of cosines against every centroid of
+    ``cents`` ([(cid, [float, ...]), ...] in cid order), each element
+    bit-equal to cosine_similarity_col(vec, centroid-literal) (centroid
+    literals are doubles; a float32 corpus vector widens exactly, matching
+    the JVM's float*double promotion).  NULL elements where a norm is zero.
+    round/argmax stay JVM-side (best_cluster_from_cosines)."""
+    C = np.array([v for _, v in cents], dtype=np.float64)
+    return make_matrix_cosines_udf(C)
 
 
 def best_cluster_from_cosines(cos_arr, cids: list):
@@ -241,19 +256,59 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k of every query vector against the corpus.
 
-    query_df is broadcast — at scale this is the classic
-    small-queries x huge-corpus pattern: one corpus scan, map-side join,
-    partial top-k per partition via the rank window after AQE coalescing."""
-    q = query_df.select(
+    The query set was always driver-broadcast (small-queries x huge-corpus
+    pattern); r7 collects it and picks the scoring path by MEASURED
+    crossover (guide §1: measure, don't assume):
+    - few queries (<= ARROW_MIN_QUERIES): the original broadcast join with
+      the interpreted per-pair fold — per corpus row the interpreted cost
+      is nq*dim*~3 expression evals, cheaper than launching an Arrow stage
+      (measured 0.32 s vs 0.68 s at nq=5, 5k corpus rows; an unrolled
+      codegen sum chain measured 5x WORSE than the HOF and was rejected);
+    - many queries: ONE Arrow kernel emitting each corpus row's full
+      query-cosine list (each corpus vector crosses the Python boundary
+      once, not once per query; posexplode reproduces the exact pair set).
+    Both paths are bit-identical (parity-tested)."""
+    qid_type = query_df.schema[id_col].dataType
+    q_type = query_df.schema[vec_col].dataType.elementType.simpleString()
+    np_q = np.float32 if q_type == "float" else np.float64
+    q_rows = query_df.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
+    ).collect()
     c = df.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
-    cos_pairs = make_cosine_pairs_udf()  # Arrow kernel, bit-equal (r7)
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
-        .withColumn("cosine", cos_pairs(F.col("qvec"), F.col("cvec")))
-        .select("query_id", "match_id", "cosine")
-    )
+    if not q_rows:  # empty query set -> empty result, like the join
+        return c.select(
+            F.lit(None).cast(qid_type).alias("query_id"),
+            "match_id",
+            F.lit(None).cast("double").alias("cosine"),
+            F.lit(0).alias("rank"),
+        ).filter(F.lit(False))
+    if len(q_rows) <= ARROW_MIN_QUERIES:
+        q = query_df.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+        scored = (
+            c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
+            .withColumn(
+                "cosine", cosine_similarity_col(F.col("qvec"), F.col("cvec"))
+            )
+            .select("query_id", "match_id", "cosine")
+        )
+    else:
+        Q = np.array([list(r["qvec"]) for r in q_rows], dtype=np_q)
+        mat_cos = make_matrix_cosines_udf(Q)
+        qid_arr = F.array(
+            *[F.lit(r["query_id"]).cast(qid_type) for r in q_rows]
+        )
+        scored = (
+            c.withColumn("_ca", mat_cos(F.col("cvec")))
+            .select("match_id", F.posexplode("_ca").alias("_qi", "cosine"))
+            .select(
+                F.element_at(qid_arr, F.col("_qi") + 1).alias("query_id"),
+                "match_id",
+                "cosine",
+            )
+            .filter(F.col("query_id") != F.col("match_id"))
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("match_id")
     )
@@ -300,28 +355,25 @@ def lsh_ann_topk(
 
     At 10^12 scale the bucket join shuffles on the signature (uniform),
     reducing candidate pairs by ~2^n_planes versus brute force."""
-    # r7: signatures via the Arrow projections kernel (the interpreted
-    # expression re-evaluated dim sins per plane PER ROW — the plane matrix
-    # is a constant, collected once from the JVM); the round-9 sign test and
-    # bit assembly stay JVM-side, bit-identical.
-    H = jvm_sin_plane_matrix(df.sparkSession, dim, n_planes, (0,))
-    pudf = make_projections_udf(H)
-
-    def with_sig(d, idc, out_id, out_vec):
-        return (
-            d.select(F.col(idc).alias(out_id), F.col(vec_col).alias(out_vec))
-            .withColumn("_pr", pudf(F.col(out_vec)))
-            .withColumn("sig", signature_from_projections(F.col("_pr"), n_planes))
-            .drop("_pr")
-        )
-
-    q = with_sig(query_df, id_col, "query_id", "qvec")
-    c = with_sig(df, id_col, "match_id", "cvec")
-    cos_pairs = make_cosine_pairs_udf()
+    # r7 NOTE: an Arrow projections-kernel variant of this function was
+    # built and MEASURED SLOWER at this shape (n_planes <= 8: ~1.0-1.3 s vs
+    # 0.67 s interpreted on sf0.1 — two extra Arrow stage launches outweigh
+    # the small per-row fold).  The kernel path remains the 100 TB move for
+    # the heavy multi-table signatures (embedding_near_dup_pairs and
+    # mine_bitext_lsh use it, T*b >= 32 planes); this few-plane path keeps
+    # the interpreted expression.
+    sig = lambda v: hyperplane_signature_col(v, dim, n_planes)
+    q = query_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+    ).withColumn("sig", sig(F.col("qvec")))
+    c = df.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec")
+    ).withColumn("sig", sig(F.col("cvec")))
     scored = (
         c.join(F.broadcast(q), "sig")
         .filter(F.col("query_id") != F.col("match_id"))
-        .withColumn("cosine", cos_pairs(F.col("qvec"), F.col("cvec")))
+        .withColumn("cosine", cosine_similarity_col(F.col("qvec"), F.col("cvec")))
         .select("query_id", "match_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))

@@ -29,9 +29,20 @@ def test_filter_pushdown_reaches_scan(spark):
 
 
 def test_small_side_broadcasts(spark):
+    """r7 adaptive brute force: a handful of queries keeps the original
+    broadcast join + interpreted fold (measured faster than an Arrow
+    stage launch); above the crossover the query matrix ships into ONE
+    Arrow kernel and no join remains."""
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=2)
-    assert "BroadcastHashJoin" in _plan(q) or "BroadcastNestedLoopJoin" in _plan(q)
+    p = _plan(q)
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    big = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 100), k=2
+    )
+    pb = _plan(big)
+    assert "ArrowEvalPython" in pb
+    assert "Join" not in pb and "CartesianProduct" not in pb
 
 
 def test_quality_features_codegen(spark):
