@@ -23,7 +23,7 @@ so an exact-match join per band finds ALL such pairs — candidate
 generation is a uniform-key shuffle on (band, bits), never an all-pairs
 product, and verification XORs two 32-bit halves JVM-side (conv + bit_count,
 whole-stage codegen, no Python). Mirrors the reference's hash-blocked dedup
-structure (/root/reference/src/rust/src/lib.rs vocabulary hashing: hash
+structure (/root/reference/src/lib.rs vocabulary hashing: hash
 buckets before any pairwise work).
 
 At 100 TB: hashing is one narrow Arrow stage per payload partition (no
@@ -32,6 +32,9 @@ id per image, independent of image size.
 """
 
 from __future__ import annotations
+
+import struct
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -109,7 +112,17 @@ def perceptual_hashes(
                 meta = parse_image_header(b)
                 try:
                     px = decode_pixels(b)
-                except (NotImplementedError, ValueError):
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    # truncated/corrupt PNG/BMP/GIF payloads surface these
+                    # raw (only the JPEG path normalizes to ValueError) —
+                    # the operator must stay total over a dirty corpus
+                    # (ADVICE r6)
+                    struct.error,
+                    zlib.error,
+                    IndexError,
+                ):
                     px = None
                 if px is None:
                     rows.append(

@@ -1091,7 +1091,16 @@ def video_frame_stats(
                         continue
                     try:
                         arr = np.atleast_3d(decode_pixels(fb))
-                    except (NotImplementedError, ValueError, IndexError):
+                    except (
+                        NotImplementedError,
+                        ValueError,
+                        IndexError,
+                        # non-JPEG frame payloads can surface these raw
+                        # (ADVICE r6): emit the promised null row instead
+                        # of failing the stage
+                        struct.error,
+                        zlib.error,
+                    ):
                         rows.append(dict(null_row, frame_idx=k))
                         continue
                     h, w, ch = arr.shape

@@ -350,6 +350,11 @@ def url_dedup(
     min-aggregate shape as paragraph dedup (ops/paragraphs.py) — a URL
     duplicated across 10^6 crawls costs O(n), never a window sort.
 
+    PRECONDITION: ``id_col`` must be globally unique (ADVICE r6). The
+    survivor join marks a row canonical when its id equals any group's
+    minimum; with duplicate ids a row could match another group's min and
+    the left join could fan out. All repo callers pass unique doc ids.
+
     The survivor set joins back on the ID column, not the canonical URL:
     a join keyed on the derived canon_url makes Catalyst infer
     ``isnotnull(canon_url)`` and push the predicate — with the WHOLE

@@ -26,7 +26,7 @@ Composes with ``sources/warc.py`` (parse the fetched spans) and
 ``ops/crawldiff.py`` (which captures are new since the last snapshot).
 
 Reference relation: kenlm-rs consumes pre-extracted text (corpus source,
-/root/reference/src/rust/src/lib.rs); the index-driven fetch plan is the
+/root/reference/src/lib.rs); the index-driven fetch plan is the
 step in front of WARC ingestion that the north rule's Common-Crawl shape
 implies.
 """

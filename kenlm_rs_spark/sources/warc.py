@@ -19,7 +19,7 @@ file must fit in executor memory (true of the 1 GB CC convention); for
 larger archives, split on gzip-member boundaries upstream.
 
 Reference relation: kenlm-rs consumes pre-extracted text (corpus source,
-/root/reference/src/rust/src/lib.rs); WARC ingestion is the step in front
+/root/reference/src/lib.rs); WARC ingestion is the step in front
 of it that the north rule's Common-Crawl shape implies.
 """
 
