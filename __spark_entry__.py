@@ -1725,12 +1725,20 @@ def q_dsir_scores(spark, sf_dir):
     per-doc log-likelihood-ratio score as a DECIMAL(38,9)-exact sum of
     round-9 bucket weights. The oracle recomputes the identical buckets,
     smoothed logs, and decimal sum in SQL."""
-    from kenlm_rs_spark.ops.dsir import dsir_scores, dsir_weights
+    from kenlm_rs_spark.ops.dsir import (
+        dsir_scores,
+        dsir_weights,
+        hashed_features,
+    )
 
     docs = _docs(spark, sf_dir)
     target = docs.filter(F.col("lang") == "en")
-    w = dsir_weights(docs, target, buckets=512)
-    return dsir_scores(docs, w, buckets=512)
+    # r7: ONE tokenize+hash pass over the raw corpus, cached and shared by
+    # the weight counts and the per-doc scoring (it used to run 3x: the
+    # totals aggregate, the weight projection, and the scoring join)
+    fd = hashed_features(docs, buckets=512).cache()
+    w = dsir_weights(docs, target, buckets=512, raw_features=fd)
+    return dsir_scores(docs, w, buckets=512, features=fd)
 
 
 def q_dedup_normalize(spark, sf_dir):

@@ -79,26 +79,37 @@ def dsir_weights(
     id_col: str = "doc_id",
     buckets: int = 4096,
     orders: tuple[int, ...] = (1, 2),
+    raw_features: DataFrame | None = None,
 ) -> DataFrame:
     """(bucket, w) over the FULL 0..B-1 spine: w = round(ln((ct+1)/(Nt+B))
     - ln((cr+1)/(Nr+B)), 9) as DECIMAL(38,9) — add-1 smoothing means every
-    bucket has a finite weight even if unseen in one corpus."""
+    bucket has a finite weight even if unseen in one corpus.
+
+    ``raw_features`` (r7): a precomputed (ideally cached)
+    ``hashed_features(raw, ...)`` table — a caller that also scores the
+    raw corpus (dsir_scores) shares ONE tokenize+hash pass instead of
+    re-running it per consumer."""
     spark = raw.sparkSession
 
-    def counts(df, name):
+    def counts(df, name, feats=None):
+        if feats is None:
+            feats = hashed_features(df, text_col, id_col, buckets, orders)
         return (
-            hashed_features(df, text_col, id_col, buckets, orders)
-            .groupBy("bucket")
+            feats.groupBy("bucket")
             .agg(F.count("*").cast("long").alias(name))
         )
 
-    cr = counts(raw, "cr")
+    cr = counts(raw, "cr", raw_features)
     ct = counts(target, "ct")
     spine = spark.range(buckets).select(F.col("id").cast("long").alias("bucket"))
+    # r7: cached — joined (spine-sized: B rows) feeds BOTH the scalar
+    # totals aggregate and the final weight projection; without the cache
+    # the whole corpus/target count subtree re-executed per reference
     joined = (
         spine.join(cr, "bucket", "left")
         .join(ct, "bucket", "left")
         .fillna(0, ["cr", "ct"])
+        .cache()
     )
     totals = joined.agg(
         F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
@@ -121,11 +132,17 @@ def dsir_scores(
     id_col: str = "doc_id",
     buckets: int = 4096,
     orders: tuple[int, ...] = (1, 2),
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, dsir_score) — decimal-exact sum of bucket weights over the
     document's n-gram stream, emitted as round(score, 6) double. Documents
-    with zero n-grams score 0 (left join keeps them)."""
-    feats = hashed_features(df, text_col, id_col, buckets, orders)
+    with zero n-grams score 0 (left join keeps them). ``features`` (r7):
+    share a precomputed hashed_features table with dsir_weights."""
+    feats = (
+        features
+        if features is not None
+        else hashed_features(df, text_col, id_col, buckets, orders)
+    )
     per_doc = (
         feats.join(F.broadcast(weights), "bucket")
         .groupBy("doc_id")
