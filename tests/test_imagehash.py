@@ -144,6 +144,32 @@ def test_perceptual_hashes_total_over_garbage(spark):
     assert rows[2]["ahash"] is None
 
 
+def test_perceptual_hashes_total_over_truncated_png_bmp(spark):
+    """ADVICE r6: a CUT (not garbage) PNG/BMP raises struct.error /
+    zlib.error from the raw decoders — the stage must emit the null-hash
+    row, not die."""
+    import pandas as pd
+
+    from kenlm_rs_spark.ops.imagegen import make_bmp_patterned, make_png_patterned
+    from kenlm_rs_spark.ops.imagehash import perceptual_hashes
+
+    png = make_png_patterned(9, 7, 2)
+    bmp = make_bmp_patterned(9, 7)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "payload": [png[: len(png) // 2], bmp[:20], png],
+        }
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in perceptual_hashes(spark.createDataFrame(pdf)).collect()
+    }
+    assert rows[0]["ahash"] is None  # truncated PNG -> null row, no crash
+    assert rows[1]["ahash"] is None  # truncated BMP header
+    assert len(rows[2]["ahash"]) == 64  # intact twin still decodes
+
+
 def test_bands_must_exceed_max_hamming(spark):
     import pandas as pd
 
