@@ -76,8 +76,8 @@ def main():
 
 The filter-job proxy above has NO shuffle in its hot path; this section
 times the SHUFFLE-BOUND fuzzy-dedup job (MinHash-LSH blocking -> exact
-Jaccard verify join -> iterative connected components) on the same
-{lo['docs']}-doc pages table at `local[{CONFIGS[0]}]` vs `local[{CONFIGS[1]}]`, fresh JVMs,
+Jaccard verify join -> iterative connected components) on a
+{lo['docs']}-doc table from the same deterministic pages generator at `local[{CONFIGS[0]}]` vs `local[{CONFIGS[1]}]`, fresh JVMs,
 interleaved best-of-2. Shuffle-bound jobs read LOWER on a shared-memory
 proxy (one memory subsystem serves all "network" traffic); target >= 0.6.
 
