@@ -38,15 +38,13 @@ argmax ranking needs no tolerance band.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd  # module-level: pandas_udf resolves type hints here
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .similarity import (
-    _seq_dot_rows,
-    _stack,
     jvm_sin_plane_matrix,
     make_cosine_pairs_udf,
+    make_matrix_cosines_udf,
     make_projections_udf,
     signature_from_projections,
 )
@@ -95,32 +93,11 @@ def mine_bitext(
         return _margin_select(pairs, k, threshold)
     tgt_ids = [r["tgt_id"] for r in t_rows]
     T = np.array([list(r["tvec"]) for r in t_rows], dtype=np_t)
-    tnorm = np.sqrt(_seq_dot_rows(T, T))
-
-    @F.pandas_udf("array<double>")
-    def cos_row(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        V = _stack(vecs)
-        acc = np.zeros((V.shape[0], T.shape[0]), dtype=np.float64)
-        for d in range(V.shape[1]):
-            acc += V[:, d][:, None] * T[:, d][None, :]
-        vnorm = np.sqrt(_seq_dot_rows(V, V))
-        den = vnorm[:, None] * tnorm[None, :]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = acc / den
-        if (den == 0.0).any():
-            mask = den == 0.0
-            return pd.Series(
-                [
-                    [None if m else float(x) for x, m in zip(row, mrow)]
-                    for row, mrow in zip(cos, mask)
-                ]
-            )
-        return pd.Series(list(cos))
+    # shared vec-vs-matrix kernel (row-chunked for bounded memory at large
+    # |tgt|; asNondeterministic inside)
+    cos_row = make_matrix_cosines_udf(T)
 
     tid_arr = F.array(*[F.lit(i).cast(tid_type) for i in tgt_ids])
-    cos_row = cos_row.asNondeterministic()  # guide §4.4: no kernel cloning
     pairs = (
         s.withColumn("_ca", cos_row(F.col("svec")))
         .select("src_id", F.posexplode("_ca").alias("_ti", "cos"))

@@ -120,28 +120,36 @@ def make_matrix_cosines_udf(M, row_norms=None):
     element the bit-exact sequential fold (NULL on a zero-norm side).
     Shared by mine_bitext, brute_force_topk and the centroid assignment."""
     Mnorm = np.sqrt(_seq_dot_rows(M, M)) if row_norms is None else row_norms
+    # memory guard for large M (guide §5): the (rows x |M|) accumulator and
+    # its per-dimension temporaries are bounded by processing the batch in
+    # row chunks of <= ~4M matrix elements (~32 MB per temp) — rows are
+    # independent, so chunking changes NOTHING about each row's arithmetic
+    chunk_rows = max(1, 4_000_000 // max(1, M.shape[0]))
 
     @F.pandas_udf("array<double>")
     def mat_cos(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        V = _stack(vecs)
-        acc = np.zeros((V.shape[0], M.shape[0]), dtype=np.float64)
-        for d in range(V.shape[1]):
-            acc += V[:, d][:, None] * M[:, d][None, :]
-        vnorm = np.sqrt(_seq_dot_rows(V, V))
-        den = vnorm[:, None] * Mnorm[None, :]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = acc / den
-        if (den == 0.0).any():
-            mask = den == 0.0
-            return pd.Series(
-                [
+        Vfull = _stack(vecs)
+        out: list = []
+        for lo in range(0, Vfull.shape[0], chunk_rows):
+            V = Vfull[lo : lo + chunk_rows]
+            acc = np.zeros((V.shape[0], M.shape[0]), dtype=np.float64)
+            for d in range(V.shape[1]):
+                acc += V[:, d][:, None] * M[:, d][None, :]
+            vnorm = np.sqrt(_seq_dot_rows(V, V))
+            den = vnorm[:, None] * Mnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / den
+            if (den == 0.0).any():
+                mask = den == 0.0
+                out.extend(
                     [None if m else float(x) for x, m in zip(row, mrow)]
                     for row, mrow in zip(cos, mask)
-                ]
-            )
-        return pd.Series(list(cos))
+                )
+            else:
+                out.extend(list(cos))
+        return pd.Series(out)
 
     # guide §4.4: see make_cosine_pairs_udf
     return mat_cos.asNondeterministic()
