@@ -136,40 +136,63 @@ def lsh_jaccard_dedup(
     """The composed 100 TB dedup shape: MinHash-LSH blocking -> exact Jaccard
     verify restricted to candidates (VERDICT r01 item 9).
 
-    The verify join fans out over CANDIDATE PAIRS x shingles — bounded by the
-    LSH collision rate, not by shingle document frequency — so the quadratic
-    inverted-index self-join of ``ngram_jaccard_pairs`` never materializes.
     Returns (id_a, id_b, common, jaccard) for pairs at or above ``threshold``
     (pairs whose true Jaccard clears the threshold but that no band catches
     are the LSH recall trade-off, tunable via bands/rows-per-band).
 
-    The shingle table is computed ONCE and cached — it feeds the minhash
-    signatures and both sides of the verify join; without the cache the
-    tokenize+shingle subtree (the dominant scan cost) would execute three
-    times, since Catalyst does not reuse non-identical exchanges
-    (.explain-verified, BENCH/BASELINE.md r3)."""
-    sh = shingle_table(df, id_col, text_col, shingle_n).cache()
+    Shape (r7, guide §2.3/§2.4): the DOC-LEVEL shingle-array table is
+    computed once and cached (it feeds the minhash signatures via one
+    explode AND both verify sides).  Verification attaches each candidate
+    doc's whole (distinct) shingle array by an id equi-join and computes
+    common = size(array_intersect(sh_a, sh_b)) in the JVM — identical to
+    counting shared shingle rows, since per-doc shingles are a distinct
+    set.  The former shape instead joined the candidate table against the
+    EXPLODED shingle table twice: the first join fanned every candidate
+    pair out to all of a's shingles and re-shuffled that |cand| x |shingles|
+    row set by (id_b, shingle) — the dominant exchange of the whole
+    pipeline.  Now only the candidate docs' arrays move, once per side.
+    Docs with an empty shingle set are dropped from the cached base exactly
+    as explode dropped them (they can never be LSH candidates)."""
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            _shingles(F.col(text_col), shingle_n).alias("shingles"),
+        )
+        .withColumn("set_size", F.size("shingles"))
+        .filter(F.col("set_size") > 0)
+        .cache()
+    )
+    sh = base.select("doc_id", "set_size", F.explode("shingles").alias("shingle"))
     cand = minhash_lsh_pairs(
         df, id_col, text_col, shingle_n, num_hashes, bands, shingles=sh
     )
-    a = sh.select(
+    a = base.select(
         F.col("doc_id").alias("id_a"),
         F.col("set_size").alias("size_a"),
-        "shingle",
+        F.col("shingles").alias("sh_a"),
     )
-    b = sh.select(
+    b = base.select(
         F.col("doc_id").alias("id_b"),
         F.col("set_size").alias("size_b"),
-        "shingle",
+        F.col("shingles").alias("sh_b"),
     )
     common = (
         cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count("*").alias("common"))
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "size_a",
+            "size_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("common"),
+        )
     )
     out = (
-        common.withColumn(
+        common
+        # the former exploded verify JOIN could not produce zero-overlap
+        # rows; keep that law explicit so threshold=0 behaves identically
+        .filter(F.col("common") >= 1)
+        .withColumn(
             "jaccard",
             F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
         )
@@ -178,7 +201,7 @@ def lsh_jaccard_dedup(
     )
     # the cache must outlive the returned (lazy) plan, so the callee cannot
     # unpersist it; long-lived sessions unpersist via this handle (ADVICE r3)
-    out.cached_deps = [sh]
+    out.cached_deps = [base]
     return out
 
 
@@ -192,35 +215,39 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle sets via inverted-index self-join.
 
-    ``max_shingle_freq`` drops stop-shingles before the join — the fan-out
-    cap that keeps the candidate count near-linear at corpus scale (a shingle
-    in f docs contributes f^2 pairs).
+    ``max_shingle_freq`` drops stop-shingles before pair generation — the
+    fan-out cap that keeps the candidate count near-linear at corpus scale
+    (a shingle in f docs contributes f^2 pairs).
 
-    The (freq-capped) shingle table is cached: it feeds the frequency
-    aggregate and both sides of the self-join, and Catalyst does not reuse
-    the tokenize+shingle subtree across them (4 parquet scans without the
-    cache, .explain-verified)."""
-    sh_raw = shingle_table(df, id_col, text_col, shingle_n).cache()
-    sh = sh_raw
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sh = sh.join(
-        F.broadcast(freq.filter(F.col("df") <= max_shingle_freq).select("shingle")),
-        "shingle",
-    ).cache()
-    a = sh.alias("a")
-    b = sh.alias("b")
+    Shape (r7, guide §2.4): ONE groupBy(shingle) collects the (capped,
+    doc-id-sorted) posting list of (doc_id, set_size) structs; pairs are
+    generated in-plan from that MATERIALIZED list column (bounded at
+    max_shingle_freq elements — O(cap^2) HOF work over a leaf column, which
+    is exactly the pair count itself), then one pair aggregate.  This
+    replaces the former frequency groupBy + broadcast filter join +
+    shingle-keyed self-join — two extra passes over the exploded shingle
+    table and its cache disappear.  Pair sets and counts are identical:
+    posting-list doc_ids are distinct (per-doc shingles are a distinct set)
+    and sorting the struct list on its leading doc_id field reproduces the
+    old a.doc_id < b.doc_id join condition."""
+    sh = shingle_table(df, id_col, text_col, shingle_n)
+    posting = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "set_size"))).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_shingle_freq))
+    )
+    pairs = posting.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (a, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                "b -> struct(a.doc_id AS id_a, b.doc_id AS id_b, "
+                "a.set_size AS size_a, b.set_size AS size_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.size_a", "p.size_b")
     common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.set_size").alias("size_a"),
-            F.col("b.set_size").alias("size_b"),
-        )
+        pairs.groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count("*").alias("common"))
     )
     out = (
@@ -231,7 +258,8 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "common", "jaccard")
     )
-    out.cached_deps = [sh_raw, sh]
+    # single-pass shape: no cache needed; keep the handle for caller contract
+    out.cached_deps = []
     return out
 
 

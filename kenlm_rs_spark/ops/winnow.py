@@ -97,39 +97,44 @@ def winnow_candidate_pairs(
     """(id_a, id_b, shared_fps): substring-overlap candidate pairs sharing
     at least ``min_shared`` winnowed fingerprints.
 
-    ``max_fp_freq`` drops boilerplate fingerprints before the self-join —
+    ``max_fp_freq`` drops boilerplate fingerprints before pair generation —
     the same fan-out cap as the shingle inverted index (a fingerprint in f
-    docs contributes f^2 candidate rows; capping bounds the join at
-    corpus scale). One groupBy for the cap, one fingerprint-keyed
-    self-join, one pair aggregate — uniform md5-prefix keys throughout."""
-    # cache the exploded fingerprint table: it feeds the frequency cap AND
-    # both self-join sides, and Catalyst does not reuse the Arrow-UDF
-    # subtree across them (the same no-CSE finding as the shingle tables,
-    # BENCH/BASELINE.md r3 — measured 3x the UDF cost uncached)
-    t = winnow_table(df, id_col, text_col, k, w).cache()
-    freq_ok = t.groupBy("fingerprint").agg(F.count("*").alias("_df")).filter(
-        F.col("_df") <= max_fp_freq
+    docs contributes f^2 candidate rows; capping bounds the blow-up at
+    corpus scale).
+
+    Shape (r7, guide §2.4): ONE groupBy(fingerprint) collects the (capped,
+    sorted) doc-id posting list, pairs are generated in-plan from that
+    MATERIALIZED list column (bounded at max_fp_freq elements, so the HOF
+    is O(cap^2) on a leaf column — not the inlined-subexpression pathology),
+    and one pair aggregate finishes.  This replaces the former frequency
+    groupBy + filter join + fingerprint-keyed self-join: 3 exchanges of the
+    exploded table + a join collapse into a single exchange, and the
+    fingerprint table no longer needs a cache (single consumer).  Pair sets
+    and counts are identical: list elements are distinct doc_ids (each doc's
+    fingerprints are a sorted set), sort_array gives id_a < id_b exactly as
+    the old a.doc_id < b.doc_id join condition did."""
+    t = winnow_table(df, id_col, text_col, k, w)
+    posting = (
+        t.groupBy("fingerprint")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_fp_freq))
     )
-    # plain (shuffle) join on the uniform fingerprint key: the surviving-
-    # fingerprint set is corpus-sized at scale, so broadcasting it would be
-    # wrong — AQE may still choose broadcast when it measures small
-    tt = t.join(freq_ok.select("fingerprint"), "fingerprint")
-    a, b = tt.alias("a"), tt.alias("b")
+    pairs = posting.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
     out = (
-        a.join(
-            b,
-            (F.col("a.fingerprint") == F.col("b.fingerprint"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
+        pairs.groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
-    # unpersist handle for long-lived sessions (same contract as the other
-    # dedup ops — the cache must outlive this lazy plan)
-    out.cached_deps = [t]
+    # no cache needed in this shape; keep the handle for caller symmetry
+    out.cached_deps = []
     return out
 
 

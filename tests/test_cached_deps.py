@@ -4,9 +4,11 @@ caller — they cannot be unpersisted inside the op (the returned plan is
 lazy), so the op exposes them as ``result.cached_deps``."""
 
 
-def _release(df):
-    deps = getattr(df, "cached_deps", [])
-    assert deps, "op must expose its cached dependencies"
+def _release(df, may_be_empty=False):
+    deps = getattr(df, "cached_deps", None)
+    assert deps is not None, "op must expose its cached-deps handle"
+    if not may_be_empty:
+        assert deps, "op must expose its cached dependencies"
     for d in deps:
         d.unpersist()
     return deps
@@ -36,7 +38,9 @@ def test_ngram_jaccard_cached_deps_released(spark):
     )
     out = ngram_jaccard_pairs(docs, threshold=0.5)
     out.count()
-    deps = _release(out)
+    # r7: the single-aggregation posting-list shape needs no cache — the
+    # handle must still exist and unpersisting must be a safe no-op
+    deps = _release(out, may_be_empty=True)
     assert all(not d.is_cached for d in deps)
 
 
