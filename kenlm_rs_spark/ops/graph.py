@@ -12,13 +12,17 @@ Scale shape (100 TB):
 - ``degree_stats``: two uniform-key groupBys (src, dst) + one outer join
   on node. Mega-hub skew on dst is the salted-aggregation shape
   (ops/partitioning.py) if a single host dominates.
-- ``pagerank``: per iteration ONE shuffle (groupBy dst) + one join back
-  to the node table; ranks are node-sized, edges are the big table and
-  are re-used unshuffled each round (join on src is broadcast-able only
-  when nodes fit — at web scale both sides shuffle-hash on node id, and
+- ``pagerank``: per iteration ONE shuffle (the per-destination
+  contribution groupBy, (dst, decimal) rows only); the iteration state is
+  SPARSE — just that contribution-sum table plus two driver scalars (the
+  rank of contribution-less nodes, and the dangling-mass scalar), since
+  rank_t(v) = round(base/N + damping*(coalesce(S_t(v),0) + ds_{t-1}), 9)
+  reconstructs every rank bit-exactly.  The node table is joined ONCE at
+  the end, not per iteration.  Edges are the big table and are re-used
+  unshuffled each round (join on src is broadcast-able only when nodes
+  fit — at web scale both sides shuffle-hash on node id, and
   pre-bucketing edges by src makes every round's join co-located).
-  Lineage is truncated per round with localCheckpoint like
-  ops/components.py.
+  Lineage is truncated with localCheckpoint like ops/components.py.
 
 Engine-exact iteration (the repo's float-parity discipline): each edge
 contribution is round(rank/out_deg, 9) cast DECIMAL(38,9) BEFORE the sum,
@@ -31,11 +35,13 @@ unchanged. ``dangling="redistribute"`` instead folds the dangling mass
 back uniformly each iteration (Page et al. 1999 §2.7's strongly-preferred
 variant when rank VALUES are consumed absolutely, not just the order):
 dsum = Σ over out_deg-0 nodes of rank::DECIMAL(38,9) (exact — ranks are
-already round-9 doubles), ds = round(dsum::DOUBLE / N, 9) — ONE scalar per
-iteration, broadcast via a 1-row cross join — and the update becomes
-round(base/N + damping*(contrib + ds), 9). Ranks then sum to 1 up to
-round-9 truncation. Cost: one extra node-sized anti-join aggregate per
-iteration; the edge table is untouched, so the 100 TB shape is identical.
+already round-9 doubles; the sum splits exactly into the in-S part plus
+count*k because decimal addition is exact), ds = round(dsum::DOUBLE/N, 9)
+— ONE scalar per iteration, collected from a 1-row JVM job (every round()
+is a JVM expression; collected doubles transfer exactly) — and the update
+becomes round(base/N + damping*(contrib + ds), 9). Ranks then sum to 1 up
+to round-9 truncation. The edge table is untouched, so the 100 TB shape
+is identical.
 """
 
 from __future__ import annotations
@@ -120,114 +126,182 @@ def pagerank(
         raise ValueError("n_iter must be >= 0")
     if dangling not in ("drop", "redistribute"):
         raise ValueError("dangling must be 'drop' or 'redistribute'")
+    spark = edges.sparkSession
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     ).distinct()
     e = e.persist()
-    # loop-invariant node table: persisted, NOT recomputed per iteration
-    # (r7: the union+distinct subtree used to re-execute inside every
-    # iteration's update join — 2 shuffles x n_iter for a fixed table)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
+    # ONE fused aggregation yields every loop-invariant node fact (r7 second
+    # pass, guide §2.4): node set = distinct(src ∪ dst), out-degree = count
+    # of rows where the node is the src, dangling set = out_deg 0 — the
+    # former union+distinct exchange, separate out-degree groupBy, and
+    # dangling anti-join collapse into this single exchange over 2 rows/edge.
+    node_deg = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("node"), F.lit(1).alias("o")),
+                    F.struct(F.col("dst").alias("node"), F.lit(0).alias("o")),
+                )
+            ).alias("x")
+        )
+        .select("x.node", "x.o")
+        .groupBy("node")
+        .agg(F.sum("o").cast("long").alias("out_deg"))
         .persist()
     )
-    out_deg = e.groupBy("src").agg(F.count("*").cast("long").alias("out_deg"))
-    e_deg = e.join(out_deg, "src").persist()
-
-    n = nodes.count()
-    # node-sized sides (ranks, contrib, dangling set) are broadcast when
+    cnt = node_deg.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("out_deg") == 0).cast("long")).alias("n_dang"),
+    ).collect()[0]
+    n, n_dang = cnt["n"], cnt["n_dang"] or 0
+    # node-sized sides (contribution sums, dangling set) are broadcast when
     # the exact node count permits: the edge table then never shuffles in
     # the iteration (BroadcastHashJoin on its cached partitions) — only
     # the per-destination contribution aggregation exchanges, and those
     # rows are (dst, decimal) pairs, not edges (guide §2.3/§3.1)
     bcast = n <= PAGERANK_BROADCAST_MAX_NODES
     _b = F.broadcast if bcast else (lambda df: df)
-    dang_nodes = None
-    if dangling == "redistribute":
-        # loop-invariant dangling-node SET (out_deg = 0): the per-iteration
-        # anti-join against out_deg collapses to a semi-join with this
-        # persisted node-sized table (r7; only the ranks values change)
-        dang_nodes = nodes.join(
-            out_deg, nodes.node == out_deg.src, "left_anti"
-        ).persist()
+    dang_nodes = node_deg.filter(F.col("out_deg") == 0).select("node")
+    e_deg = e.join(
+        _b(
+            node_deg.filter(F.col("out_deg") > 0).select(
+                F.col("node").alias("src"), "out_deg"
+            )
+        ),
+        "src",
+    ).persist()
     base = 1.0 - damping  # teleport mass; divided by N in the update
-    ranks = nodes.select(
-        "node", F.round(F.lit(1.0) / F.lit(float(n)), 9).alias("rank")
-    )
+
+    # Sparse iteration state (r7 second pass): ranks_t is fully determined
+    # by S_t (the per-destination contribution sums of iteration t-1 — at
+    # most node-sized, only nodes WITH in-edges) plus two scalars computed
+    # JVM-side and collected (1-row jobs, the BPE-scalar precedent):
+    #   k_t  = rank of any node absent from S_t
+    #   ds_t = dangling mass scalar of iteration t (redistribute only)
+    # rank_t(v) = round(base/N + damping*(coalesce(S_t(v),0) + ds_{t-1}), 9)
+    # — the identical expression the dense update join used to materialize,
+    # so every value is bit-equal; the former per-iteration nodes⋈contrib
+    # left join, full-ranks checkpoint, and separate dangling semi-join
+    # against a persisted anti-join table all disappear.  Every round()
+    # stays a JVM expression (collected doubles transfer exactly).
+    def _one_row(*cols):
+        return spark.range(1).select(*cols)
+
+    k = _one_row(
+        F.round(F.lit(1.0) / F.lit(float(n)), 9).alias("k")
+    ).collect()[0]["k"]
+    S = None  # iteration-0 ranks are the uniform k for every node
+    ds_prev = None
+
+    def rank_expr(ds):
+        inner = F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+        if ds is not None:
+            inner = inner + F.lit(ds)
+        return F.round(
+            F.lit(base) / F.lit(float(n)) + F.lit(damping) * inner, 9
+        )
+
     for it in range(n_iter):
-        contrib = (
-            e_deg.join(_b(ranks), e_deg.src == ranks.node)
-            .select(
+        if dangling == "redistribute":
+            # ds_t from ranks_t: exact DECIMAL(38,9) mass of the dangling
+            # nodes = sum over dang∩S_t of rank_t + (missing count) * k_t —
+            # decimal addition is exact, so the split equals the old
+            # whole-set sum bit-for-bit.  One 1-row collect also produces
+            # k_{t+1} so the next round's constant never leaves the JVM.
+            # count * k must stay EXACT at scale 9: decimal(20,0) x
+            # decimal(10,9) -> precision 31, scale 9 — no precision-loss
+            # truncation (a (38,9)x(38,9) product would be clipped to
+            # scale 6 by Spark's allowPrecisionLoss rule)
+            if S is None:
+                dsum = F.lit(n_dang).cast("decimal(20,0)") * F.lit(k).cast(
+                    "decimal(10,9)"
+                )
+                ds_src = _one_row(dsum.alias("dsum"))
+            else:
+                ds_src = (
+                    S.join(_b(dang_nodes), "node", "leftsemi")
+                    .agg(
+                        F.coalesce(
+                            F.sum(rank_expr(ds_prev).cast("decimal(38,9)")),
+                            F.lit(0).cast("decimal(38,9)"),
+                        ).alias("dsum_in"),
+                        F.count("*").alias("cnt_in"),
+                    )
+                    .select(
+                        (
+                            F.col("dsum_in")
+                            + (F.lit(n_dang) - F.col("cnt_in")).cast(
+                                "decimal(20,0)"
+                            )
+                            * F.lit(k).cast("decimal(10,9)")
+                        ).alias("dsum")
+                    )
+                )
+            row = ds_src.select(
+                F.round(F.col("dsum").cast("double") / F.lit(float(n)), 9).alias(
+                    "ds"
+                )
+            ).select(
+                "ds",
+                F.round(
+                    F.lit(base) / F.lit(float(n))
+                    + F.lit(damping) * (F.lit(0.0) + F.col("ds")),
+                    9,
+                ).alias("k_next"),
+            ).collect()[0]
+            ds, k_next = row["ds"], row["k_next"]
+        else:
+            ds = None
+            k_next = None  # computed once below (constant across iterations)
+        if S is None:
+            contrib = e_deg.select(
                 "dst",
-                F.round(F.col("rank") / F.col("out_deg"), 9)
+                F.round(F.lit(k) / F.col("out_deg"), 9)
                 .cast("decimal(38,9)")
                 .alias("c"),
             )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        if dangling == "redistribute":
-            # dsum over out-degree-0 nodes is an exact DECIMAL(38,9) sum
-            # (ranks are round-9 doubles); ds is one scalar row, broadcast.
-            dang = (
-                ranks.join(_b(dang_nodes), "node", "leftsemi")
-                .agg(
-                    F.coalesce(
-                        F.sum(F.col("rank").cast("decimal(38,9)")),
-                        F.lit(0).cast("decimal(38,9)"),
-                    ).alias("dsum")
-                )
-                .select(
-                    F.round(
-                        F.col("dsum").cast("double") / F.lit(float(n)), 9
-                    ).alias("ds")
-                )
-            )
-            ranks = (
-                nodes.join(_b(contrib), nodes.node == contrib.dst, "left")
-                .crossJoin(F.broadcast(dang))
-                .select(
-                    "node",
-                    F.round(
-                        F.lit(base) / F.lit(float(n))
-                        + F.lit(damping)
-                        * (
-                            F.coalesce(F.col("s").cast("double"), F.lit(0.0))
-                            + F.col("ds")
-                        ),
-                        9,
-                    ).alias("rank"),
-                )
-            )
         else:
-            ranks = nodes.join(
-                _b(contrib), nodes.node == contrib.dst, "left"
-            ).select(
-                "node",
-                F.round(
-                    F.lit(base) / F.lit(float(n))
-                    + F.lit(damping)
-                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
-                    9,
-                ).alias("rank"),
+            contrib = e_deg.join(_b(S), e_deg.src == S.node, "left").select(
+                "dst",
+                F.round(rank_expr(ds_prev) / F.col("out_deg"), 9)
+                .cast("decimal(38,9)")
+                .alias("c"),
             )
-        # r7 (measured A/B on sf0.1): the dangling path references ranks
-        # TWICE per iteration (contribution join + dangling-mass fold), so
-        # without per-iteration truncation the plan/evaluation doubles per
-        # round (5 iters unchecked: 22.9 s vs 5.1-7.6 s).  The plain path
-        # references ranks once — its lineage is a linear chain, and the
-        # per-iteration checkpoint was pure materialization overhead
-        # (8.0 s -> 5.9 s without); truncate every 8th round only, which
-        # bounds plan depth for large n_iter.
+        S_next = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(F.col("dst").alias("node"), "s")
+        )
+        # lineage truncation (r7 A/B, measured on sf0.1): the redistribute
+        # path consumes S twice per iteration (dangling fold + contribution
+        # join) — truncate every round; the plain path is a linear chain —
+        # truncate every 8th round only, bounding plan depth for large
+        # n_iter without per-round materialization overhead.
         if checkpoint and (
             dangling == "redistribute" or (it + 1) % 8 == 0
         ):
-            ranks = ranks.localCheckpoint(eager=False)
-    ranks.cached_deps = [e, e_deg, nodes] + (
-        [dang_nodes] if dang_nodes is not None else []
-    )
+            S_next = S_next.localCheckpoint(eager=False)
+        S, ds_prev = S_next, ds
+        if dangling == "redistribute":
+            k = k_next
+        elif it == 0:
+            # rank of a contribution-less node is the same constant every
+            # drop-path iteration: round(base/N + damping*0.0, 9), JVM-side
+            k = _one_row(
+                F.round(
+                    F.lit(base) / F.lit(float(n)) + F.lit(damping) * F.lit(0.0),
+                    9,
+                ).alias("k")
+            ).collect()[0]["k"]
+    nodes = node_deg.select("node")
+    if S is None:
+        ranks = nodes.select("node", F.lit(k).alias("rank"))
+    else:
+        ranks = nodes.join(_b(S), "node", "left").select(
+            "node", rank_expr(ds_prev).alias("rank")
+        )
+    ranks.cached_deps = [e, e_deg, node_deg]
     return ranks
 
 
