@@ -40,7 +40,14 @@ def duplicated_span_stats(
     dup_span_frac = n_dup_spans / n_spans (null for docs shorter than L).
 
     ``hashed=True`` is the 10^12-doc path: spans become xxhash64 longs
-    before the groupBy/join, shrinking shuffle bytes ~10x on 13-grams."""
+    before the groupBy/join, shrinking shuffle bytes ~10x on 13-grams.
+
+    Shape (r7 second pass, guide §2.3): n_spans is the ngram ARRAY SIZE —
+    no explode, no shuffle; only the duplicate side explodes: the span
+    table feeds the global count and an INNER join against the cnt>=2
+    spans, so the per-doc aggregation exchanges ONLY duplicated
+    occurrences (the former left-join + groupBy re-shuffled every span
+    occurrence of the corpus a second time just to count them per doc)."""
     spans = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(ngrams_col(F.col(text_col), n)).alias("span"),
@@ -48,33 +55,40 @@ def duplicated_span_stats(
     if hashed:
         spans = spans.select("doc_id", F.xxhash64("span").alias("span"))
     # r7: cached — the exploded span table feeds the global count AND the
-    # per-doc join-back, and Catalyst does not reuse the explode subtree
+    # duplicate join-back, and Catalyst does not reuse the explode subtree
     # across them (two full tokenize+ngram passes without the cache)
     spans = spans.cache()
     counts = (
         spans.groupBy("span")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= 2)
-        .select("span", F.lit(True).alias("_dup"))
+        .select("span")
     )
-    per_doc = (
-        spans.join(counts, "span", "left")
+    dup_per_doc = (
+        spans.join(counts, "span")
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.when(F.col("_dup"), 1).otherwise(0)).alias("n_dup_spans"),
-        )
+        .agg(F.count("*").alias("n_dup_spans"))
     )
     out = (
-        df.select(F.col(id_col).alias("doc_id"))
-        .join(per_doc, "doc_id", "left")
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            # null text produced zero explode rows in the old shape — keep
+            # the 0, never size(NULL)'s ANSI-dependent -1/NULL
+            F.when(F.col(text_col).isNull(), F.lit(0))
+            .otherwise(F.size(ngrams_col(F.col(text_col), n)))
+            .cast("long")
+            .alias("n_spans"),
+        )
+        .join(dup_per_doc, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            "n_spans",
             F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
             F.when(
-                F.coalesce("n_spans", F.lit(0)) > 0,
-                F.round(F.col("n_dup_spans") / F.col("n_spans"), 9),
+                F.col("n_spans") > 0,
+                F.round(
+                    F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans"), 9
+                ),
             ).alias("dup_span_frac"),
         )
     )
@@ -108,16 +122,20 @@ def remove_duplicated_spans(
     was duplicated, and for docs shorter than L tokens the text is just
     re-joined unchanged.
 
-    Scale shape: one uniform-key groupBy on the span (hashed=True makes it
-    an 8-byte xxhash64 key at 10^12 docs), one join back restricted by the
-    count>=2 HAVING filter to actually-duplicated spans, a bounded x L
-    position explode, one anti-join on (doc_id, pos), and a per-doc
-    reassembly aggregate (doc-sized groups). No window over the corpus.
+    Scale shape (r7 second pass, guide §2.3): one uniform-key groupBy on
+    the span (hashed=True makes it an 8-byte xxhash64 key at 10^12 docs),
+    one join back restricted by the count>=2 HAVING filter to
+    actually-duplicated spans, then ONLY the removed POSITIONS move: they
+    aggregate per doc into a set and attach to the documents by one
+    doc-keyed join; the cleaned text is rebuilt in-plan by filtering the
+    token array against that set (per-element work over leaf columns — no
+    corpus-token explode ever shuffles).  The former shape instead
+    anti-joined an exploded corpus-token table against the covered
+    positions and re-assembled docs with a sort_array/collect_list
+    groupBy — two corpus-token-sized exchanges that are now gone.
+    n_removed = |removed set| exactly (every covered position indexes a
+    real token), so nothing is evaluated twice.
     """
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens_col(F.col(text_col))).alias("tpos", "token"),
-    )
     spans = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(ngrams_col(F.col(text_col), n)).alias("pos", "span"),
@@ -135,34 +153,40 @@ def remove_duplicated_spans(
         .select("span", "first_k")
     )
     starts = occ.join(dup, "span").filter(F.col("k") != F.col("first_k"))
-    covered = starts.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias(
-            "tpos"
-        ),
-    ).distinct()
-    kept = toks.join(covered, ["doc_id", "tpos"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("tpos", "token"))),
-                lambda s: s["token"],
-            ),
-            " ",
-        ).alias("cleaned_text"),
-        F.count("*").cast("long").alias("n_kept"),
+    removed = (
+        starts.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("tpos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("tpos").alias("_rm"))
     )
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
-    )
-    out = base.join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
-        "n_tokens",
-        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
-        .cast("long")
-        .alias("n_removed"),
+
+    def _kept(x, i):
+        # (element, index) filter: drop tokens whose position is covered by
+        # a non-canonical duplicated span; _rm is a join-attribute leaf, so
+        # the lambda re-evaluates nothing (not the HOF-inlining pathology)
+        return ~F.coalesce(F.array_contains(F.col("_rm"), i), F.lit(False))
+
+    toks = tokens_col(F.col(text_col))
+    out = (
+        df.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col)
+        )
+        .join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(F.filter(toks, _kept), " ").alias("cleaned_text"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            # explicit null branch: size(NULL) is -1/NULL depending on the
+            # session's ANSI setting — never let that leak into the count
+            F.when(F.col("_rm").isNull(), F.lit(0))
+            .otherwise(F.size("_rm"))
+            .cast("long")
+            .alias("n_removed"),
+        )
     )
     # unpersist handle for long-lived sessions (cached_deps contract)
     out.cached_deps = [occ]
