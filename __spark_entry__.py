@@ -1735,9 +1735,17 @@ def q_dsir_scores(spark, sf_dir):
     target = docs.filter(F.col("lang") == "en")
     # r7: ONE tokenize+hash pass over the raw corpus, cached and shared by
     # the weight counts and the per-doc scoring (it used to run 3x: the
-    # totals aggregate, the weight projection, and the scoring join)
+    # totals aggregate, the weight projection, and the scoring join);
+    # second pass: the TARGET counts come from the same cached table via a
+    # doc-id semi-join (the target is a corpus subset) instead of a second
+    # tokenize+md5 pass over the English docs — bit-identical features
     fd = hashed_features(docs, buckets=512).cache()
-    w = dsir_weights(docs, target, buckets=512, raw_features=fd)
+    tf = fd.join(
+        F.broadcast(target.select("doc_id")), "doc_id", "leftsemi"
+    )
+    w = dsir_weights(
+        docs, target, buckets=512, raw_features=fd, target_features=tf
+    )
     return dsir_scores(docs, w, buckets=512, features=fd)
 
 

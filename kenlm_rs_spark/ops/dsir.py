@@ -80,15 +80,19 @@ def dsir_weights(
     buckets: int = 4096,
     orders: tuple[int, ...] = (1, 2),
     raw_features: DataFrame | None = None,
+    target_features: DataFrame | None = None,
 ) -> DataFrame:
     """(bucket, w) over the FULL 0..B-1 spine: w = round(ln((ct+1)/(Nt+B))
     - ln((cr+1)/(Nr+B)), 9) as DECIMAL(38,9) — add-1 smoothing means every
     bucket has a finite weight even if unseen in one corpus.
 
-    ``raw_features`` (r7): a precomputed (ideally cached)
-    ``hashed_features(raw, ...)`` table — a caller that also scores the
+    ``raw_features``/``target_features`` (r7): precomputed (ideally
+    cached) ``hashed_features`` tables — a caller that also scores the
     raw corpus (dsir_scores) shares ONE tokenize+hash pass instead of
-    re-running it per consumer."""
+    re-running it per consumer; when the target is a subset of the raw
+    corpus, pass the cached raw features semi-joined to the target ids
+    (bit-identical to re-hashing the subset, minus the second
+    tokenize+md5 pass)."""
     spark = raw.sparkSession
 
     def counts(df, name, feats=None):
@@ -100,7 +104,7 @@ def dsir_weights(
         )
 
     cr = counts(raw, "cr", raw_features)
-    ct = counts(target, "ct")
+    ct = counts(target, "ct", target_features)
     spine = spark.range(buckets).select(F.col("id").cast("long").alias("bucket"))
     # r7: cached — joined (spine-sized: B rows) feeds BOTH the scalar
     # totals aggregate and the final weight projection; without the cache
