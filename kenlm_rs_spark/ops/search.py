@@ -31,12 +31,27 @@ from pyspark.sql import functions as F
 from kenlm_rs_spark.ops.textstats import tokens_col
 
 
-def doc_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-(doc, term) frequency + doc length: the shared base relation."""
+def doc_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    doc_keyed: bool = True,
+) -> DataFrame:
+    """Per-(doc, term) frequency + doc length: the shared base relation.
+
+    ``doc_keyed`` (r7 second pass, guide §2.4): exchange the token stream
+    ONCE keyed by doc_id — HashPartitioning(doc_id) satisfies the
+    clustering requirement of the (doc, term) count, the dl window, AND
+    any downstream per-doc window (tfidf's rank), so none of them inserts
+    its own exchange.  Callers that immediately re-key by term and never
+    read dl (inverted_index) pass False and keep the (doc, term)
+    partial-aggregation exchange instead."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens_col(F.col(text_col))).alias("term"),
     )
+    if doc_keyed:
+        toks = toks.repartition("doc_id")
     tf = toks.groupBy("doc_id", "term").agg(
         F.count("*").cast("long").alias("tf")
     )
@@ -57,7 +72,7 @@ def inverted_index(
     """term -> sorted posting list [(doc_id, tf), ...] + document frequency.
     At 100 TB, cap or bucket hot terms before collect_list (a stopword's
     postings are corpus-sized); the df/tf aggregation itself is safe."""
-    terms = doc_terms(df, text_col, id_col)
+    terms = doc_terms(df, text_col, id_col, doc_keyed=False)
     return terms.groupBy("term").agg(
         F.count("*").cast("long").alias("df"),
         F.sort_array(
