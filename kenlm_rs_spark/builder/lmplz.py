@@ -216,6 +216,40 @@ def discount_stats(adjusted: DataFrame, order: int) -> dict[int, tuple]:
     njs = {n: {j: 0 for j in range(1, 5)} for n in range(1, order + 1)}
     for r in rows:
         njs[r["n"]][int(r["count"])] = r["freq"]
+    return _discounts_from_njs(njs, order)
+
+
+def _discount_and_vocab_stats(
+    adjusted: DataFrame, order: int
+) -> tuple[dict[int, tuple], int]:
+    """(discounts, vocab_rows) from ONE aggregation job (r7, guide §1.2-1):
+    estimate_df needs both the count-of-counts (discounts) and the
+    unigram-type count (uniform base), and collecting them separately cost
+    one extra sequential materialization wave over the cached adjusted
+    table.  Binning count<=4 and splitting on the <s> flag loses nothing:
+    n_j(n) = Σ over both flags of freq(n, j); vocab_rows = Σ freq(1, *,
+    bos=False) including the null (count>4) bin — integer-exact either
+    way."""
+    rows = (
+        adjusted.groupBy(
+            "n",
+            F.when(F.col("count") <= 4, F.col("count")).alias("cbin"),
+            (F.element_at("gram", 1) == F.lit("<s>")).alias("bos"),
+        )
+        .agg(F.count("*").alias("freq"))
+        .collect()
+    )
+    njs = {n: {j: 0 for j in range(1, 5)} for n in range(1, order + 1)}
+    vocab_rows = 0
+    for r in rows:
+        if r["cbin"] is not None:
+            njs[r["n"]][int(r["cbin"])] += r["freq"]
+        if r["n"] == 1 and not r["bos"]:
+            vocab_rows += r["freq"]
+    return _discounts_from_njs(njs, order), vocab_rows
+
+
+def _discounts_from_njs(njs: dict, order: int) -> dict[int, tuple]:
     discounts = {}
     for n in range(1, order + 1):
         s = njs[n]
@@ -332,17 +366,15 @@ def estimate_df(
         raw = raw.cache()
     adj = adjusted_counts(raw, order)
     adj = with_prune_flags(adj, raw, order, prune_thresholds, limit_vocab).cache()
-    discounts = discount_stats(adj, order)
+    # scalars: uniform base 1/(vocab-1) (interpolate.hh:21-23) and gamma(eps).
+    # Vocabulary size counts ALL types (pre-prune adjusted unigrams excl <s>),
+    # matching the reference's corpus-count vocab size.  ONE aggregation
+    # job yields both the count-of-counts and the vocab size (r7 — the
+    # separate .count() cost an extra sequential wave over the cache).
+    discounts, vocab_rows = _discount_and_vocab_stats(adj, order)
     probs, gammas = initial_probabilities(adj, discounts, order)
     probs = probs.cache()
     gammas = gammas.cache()
-
-    # scalars: uniform base 1/(vocab-1) (interpolate.hh:21-23) and gamma(eps).
-    # Vocabulary size counts ALL types (pre-prune adjusted unigrams excl <s>),
-    # matching the reference's corpus-count vocab size.
-    vocab_rows = adj.filter(
-        (F.col("n") == 1) & (F.element_at("gram", 1) != "<s>")
-    ).count()
     # --vocab_pad (lmplz_main.cc:99,151-152; pipeline.cc:281): pretend the
     # vocabulary has at least vocab_pad types, reserving uniform mass for
     # unseen words; requires unigram interpolation
