@@ -2404,6 +2404,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample": q_video_frame_sample,
         "dsir_scores": q_dsir_scores,
         "bpe_encode": q_bpe_encode,
+        # --- r7 second pass: code changed (posting-list pair generation,
+        # --- array-intersect verify, doc-keyed exchange) ---
+        "winnow_pairs": q_winnow_pairs,
+        "lsh_jaccard": q_lsh_jaccard,
+        "gopher_repetition": q_gopher_repetition,
         # --- never-recorded residue of the r6 rotation ---
         "temperature_sample_a07": q_temperature_sample_a07,
         "audio_mp3_metadata": q_audio_mp3_metadata,
@@ -2415,10 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_docs": q_perplexity_docs,
         "langid_docs": q_langid_docs,
         "filter_pipeline": q_filter_pipeline,
-        "token_stats": q_token_stats,
         "quality_features": q_quality_features,
-        "pii_scrub": q_pii_scrub,
-        "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "dedup_jaccard": q_dedup_jaccard,
         "simhash": q_simhash,
@@ -2432,7 +2434,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiout_filter": q_multiout_filter,
         "phrase_filter": q_phrase_filter,
         # --- recorded r6 (or unchanged r4/r5 rows), rotated to the back ---
-        "winnow_pairs": q_winnow_pairs,
+        "token_stats": q_token_stats,
+        "pii_scrub": q_pii_scrub,
+        "dedup_exact": q_dedup_exact,
         "temperature_sample": q_temperature_sample,
         "image_pixel_stats": q_image_pixel_stats,
         "image_pooled_features": q_image_pooled_features,
@@ -2466,13 +2470,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_calibration": q_classifier_calibration,
         "filter_ablation": q_filter_ablation,
         "jpeg_pixel_stats": q_jpeg_pixel_stats,
-        "lsh_jaccard": q_lsh_jaccard,
         "image_metadata": q_image_metadata,
         "image_headers": q_image_headers,
         "bucket_resample": q_bucket_resample,
         "decontaminate": q_decontaminate,
         "gopher_rules": q_gopher_rules,
-        "gopher_repetition": q_gopher_repetition,
         "salted_domain_counts": q_salted_domain_counts,
         "paragraph_stats": q_paragraph_stats,
         "union_filter": q_union_filter,
