@@ -175,58 +175,93 @@ def pagerank(
 
     # Sparse iteration state (r7 second pass): ranks_t is fully determined
     # by S_t (the per-destination contribution sums of iteration t-1 — at
-    # most node-sized, only nodes WITH in-edges) plus two scalars computed
-    # JVM-side and collected (1-row jobs, the BPE-scalar precedent):
-    #   k_t  = rank of any node absent from S_t
-    #   ds_t = dangling mass scalar of iteration t (redistribute only)
+    # most node-sized, only nodes WITH in-edges) plus two loop scalars:
+    #   k0   = uniform start round(1/N, 9) (a constant-folded expression)
+    #   ds_t = dangling mass of iteration t (redistribute only) — a LAZY
+    #          1-row frame, broadcast-cross-joined wherever the old dense
+    #          update read its scalar; no driver round trip per iteration
+    #          (interleaved A/B vs the collect()-per-iteration variant:
+    #          pairwise faster in 5 of 6 rounds).
     # rank_t(v) = round(base/N + damping*(coalesce(S_t(v),0) + ds_{t-1}), 9)
     # — the identical expression the dense update join used to materialize,
     # so every value is bit-equal; the former per-iteration nodes⋈contrib
-    # left join, full-ranks checkpoint, and separate dangling semi-join
-    # against a persisted anti-join table all disappear.  Every round()
-    # stays a JVM expression (collected doubles transfer exactly).
+    # left join and full-ranks checkpoint disappear and the node table is
+    # joined once at the end.  Every round() stays a JVM expression.
     def _one_row(*cols):
         return spark.range(1).select(*cols)
 
-    k = _one_row(
-        F.round(F.lit(1.0) / F.lit(float(n)), 9).alias("k")
-    ).collect()[0]["k"]
-    S = None  # iteration-0 ranks are the uniform k for every node
-    ds_prev = None
+    k0 = F.round(F.lit(1.0) / F.lit(float(n)), 9)
 
-    def rank_expr(ds):
+    def rank_expr(ds_col):
+        # drop path (ds_col None): missing s gives round(base/N + d*0.0, 9)
+        # — the constant the old dense update produced for those nodes
         inner = F.coalesce(F.col("s").cast("double"), F.lit(0.0))
-        if ds is not None:
-            inner = inner + F.lit(ds)
+        if ds_col is not None:
+            inner = inner + ds_col
         return F.round(
             F.lit(base) / F.lit(float(n)) + F.lit(damping) * inner, 9
         )
 
+    def k_expr(ds_col):
+        # rank of a node absent from S_t: coalesce gave 0.0, + ds as-is
+        return F.round(
+            F.lit(base) / F.lit(float(n))
+            + F.lit(damping) * (F.lit(0.0) + ds_col),
+            9,
+        )
+
+    S = None  # iteration-0 ranks are the uniform k0 for every node
+    ds_prev = None  # 1-row (ds) frame of the PREVIOUS iteration
+    zero_ds = _one_row(
+        F.round(
+            F.lit(0).cast("decimal(38,9)").cast("double") / F.lit(float(n)), 9
+        ).alias("ds")
+    )
     for it in range(n_iter):
         if dangling == "redistribute":
             # ds_t from ranks_t: exact DECIMAL(38,9) mass of the dangling
             # nodes = sum over dang∩S_t of rank_t + (missing count) * k_t —
             # decimal addition is exact, so the split equals the old
-            # whole-set sum bit-for-bit.  One 1-row collect also produces
-            # k_{t+1} so the next round's constant never leaves the JVM.
-            # count * k must stay EXACT at scale 9: decimal(20,0) x
-            # decimal(10,9) -> precision 31, scale 9 — no precision-loss
-            # truncation (a (38,9)x(38,9) product would be clipped to
-            # scale 6 by Spark's allowPrecisionLoss rule)
-            if S is None:
-                dsum = F.lit(n_dang).cast("decimal(20,0)") * F.lit(k).cast(
+            # whole-set sum bit-for-bit.  count * k stays EXACT at scale 9
+            # as decimal(20,0) x decimal(10,9) (precision 31 — a
+            # (38,9)x(38,9) product is clipped to scale 6 by Spark's
+            # allowPrecisionLoss rule).  With no dangling nodes ds is the
+            # constant round(0/N, 9) — skip the machinery entirely.
+            if n_dang == 0:
+                ds_cur = zero_ds
+            elif S is None:
+                dsum = F.lit(n_dang).cast("decimal(20,0)") * k0.cast(
                     "decimal(10,9)"
                 )
-                ds_src = _one_row(dsum.alias("dsum"))
+                ds_cur = _one_row(
+                    F.round(
+                        dsum.cast("double") / F.lit(float(n)), 9
+                    ).alias("ds")
+                )
             else:
-                ds_src = (
+                # every dangling node appears as a dst (it has no
+                # out-edges, so it is in the node set via in-edges only),
+                # hence dang ⊆ S_t and the semi-join is never empty here
+                ds_cur = (
                     S.join(_b(dang_nodes), "node", "leftsemi")
+                    .crossJoin(
+                        F.broadcast(
+                            ds_prev.select(F.col("ds").alias("_dsp"))
+                        )
+                    )
                     .agg(
                         F.coalesce(
-                            F.sum(rank_expr(ds_prev).cast("decimal(38,9)")),
+                            F.sum(
+                                rank_expr(F.col("_dsp")).cast("decimal(38,9)")
+                            ),
                             F.lit(0).cast("decimal(38,9)"),
                         ).alias("dsum_in"),
                         F.count("*").alias("cnt_in"),
+                    )
+                    .crossJoin(
+                        F.broadcast(
+                            ds_prev.select(F.col("ds").alias("_dsp"))
+                        )
                     )
                     .select(
                         (
@@ -234,37 +269,41 @@ def pagerank(
                             + (F.lit(n_dang) - F.col("cnt_in")).cast(
                                 "decimal(20,0)"
                             )
-                            * F.lit(k).cast("decimal(10,9)")
+                            * k_expr(F.col("_dsp")).cast("decimal(10,9)")
                         ).alias("dsum")
                     )
+                    .select(
+                        F.round(
+                            F.col("dsum").cast("double") / F.lit(float(n)), 9
+                        ).alias("ds")
+                    )
                 )
-            row = ds_src.select(
-                F.round(F.col("dsum").cast("double") / F.lit(float(n)), 9).alias(
-                    "ds"
-                )
-            ).select(
-                "ds",
-                F.round(
-                    F.lit(base) / F.lit(float(n))
-                    + F.lit(damping) * (F.lit(0.0) + F.col("ds")),
-                    9,
-                ).alias("k_next"),
-            ).collect()[0]
-            ds, k_next = row["ds"], row["k_next"]
+                if checkpoint:
+                    # ds_cur is read by the next contribution pass AND the
+                    # next dangling fold — truncate so the 1-row agg runs
+                    # once, not per consumer
+                    ds_cur = ds_cur.localCheckpoint(eager=False)
         else:
-            ds = None
-            k_next = None  # computed once below (constant across iterations)
+            ds_cur = None
         if S is None:
             contrib = e_deg.select(
                 "dst",
-                F.round(F.lit(k) / F.col("out_deg"), 9)
+                F.round(k0 / F.col("out_deg"), 9)
                 .cast("decimal(38,9)")
                 .alias("c"),
             )
         else:
-            contrib = e_deg.join(_b(S), e_deg.src == S.node, "left").select(
+            j = e_deg.join(_b(S), e_deg.src == S.node, "left")
+            if ds_prev is not None:
+                j = j.crossJoin(
+                    F.broadcast(ds_prev.select(F.col("ds").alias("_dsp")))
+                )
+                rank_col = rank_expr(F.col("_dsp"))
+            else:
+                rank_col = rank_expr(None)
+            contrib = j.select(
                 "dst",
-                F.round(rank_expr(ds_prev) / F.col("out_deg"), 9)
+                F.round(rank_col / F.col("out_deg"), 9)
                 .cast("decimal(38,9)")
                 .alias("c"),
             )
@@ -282,24 +321,19 @@ def pagerank(
             dangling == "redistribute" or (it + 1) % 8 == 0
         ):
             S_next = S_next.localCheckpoint(eager=False)
-        S, ds_prev = S_next, ds
-        if dangling == "redistribute":
-            k = k_next
-        elif it == 0:
-            # rank of a contribution-less node is the same constant every
-            # drop-path iteration: round(base/N + damping*0.0, 9), JVM-side
-            k = _one_row(
-                F.round(
-                    F.lit(base) / F.lit(float(n)) + F.lit(damping) * F.lit(0.0),
-                    9,
-                ).alias("k")
-            ).collect()[0]["k"]
+        S, ds_prev = S_next, ds_cur
     nodes = node_deg.select("node")
     if S is None:
-        ranks = nodes.select("node", F.lit(k).alias("rank"))
+        ranks = nodes.select("node", k0.alias("rank"))
+    elif ds_prev is not None:
+        ranks = (
+            nodes.join(_b(S), "node", "left")
+            .crossJoin(F.broadcast(ds_prev.select(F.col("ds").alias("_dsp"))))
+            .select("node", rank_expr(F.col("_dsp")).alias("rank"))
+        )
     else:
         ranks = nodes.join(_b(S), "node", "left").select(
-            "node", rank_expr(ds_prev).alias("rank")
+            "node", rank_expr(None).alias("rank")
         )
     ranks.cached_deps = [e, e_deg, node_deg]
     return ranks
