@@ -130,38 +130,53 @@ def connected_components(
     # the round's checkpoint as part of its own job (eager=True ran one
     # full extra job per table per round just to materialize; measured as
     # half the rounds' wall time on the tiny label tables)
-    labels = (
-        e.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=False)
-    )
     e = e.localCheckpoint(eager=False)
-    for _ in range(max_iter):
-        nbr_min = (
-            e.join(labels, e.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        # r7: the changed-count used to be a separate join of new vs old
-        # labels (one extra shuffle join per round); the old component is
-        # already on the row here, so carry a change flag through the
-        # checkpoint and count it off the cached partitions instead
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("nbr_component", F.col("component")),
-                ).alias("component"),
-                (
-                    F.coalesce("nbr_component", F.col("component"))
-                    < F.col("component")
-                ).alias("_chg"),
+    labels = None
+    for it in range(max_iter):
+        if labels is None:
+            # round 1 shortcut (r7 second pass): labels_0 is the identity,
+            # so the neighbor-minimum is just min(dst) per src and every
+            # node IS a src (e is bidirectional) — one groupBy replaces
+            # the separate label-table init (a distinct exchange) AND the
+            # round's two joins; labels_1(v) = least(v, min-neighbor)
+            new_labels = (
+                e.groupBy("src")
+                .agg(F.min("dst").alias("nbr_component"))
+                .select(
+                    F.col("src").alias("node"),
+                    F.least(F.col("src"), F.col("nbr_component")).alias(
+                        "component"
+                    ),
+                    (F.col("nbr_component") < F.col("src")).alias("_chg"),
+                )
+                .localCheckpoint(eager=False)
             )
-            .localCheckpoint(eager=False)
-        )
+        else:
+            nbr_min = (
+                e.join(labels, e.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            # r7: the changed-count used to be a separate join of new vs
+            # old labels (one extra shuffle join per round); the old
+            # component is already on the row here, so carry a change flag
+            # through the checkpoint and count it off the cached
+            # partitions instead
+            new_labels = (
+                labels.join(nbr_min, labels.node == nbr_min.src, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce("nbr_component", F.col("component")),
+                    ).alias("component"),
+                    (
+                        F.coalesce("nbr_component", F.col("component"))
+                        < F.col("component")
+                    ).alias("_chg"),
+                )
+                .localCheckpoint(eager=False)
+            )
         changed = new_labels.filter(F.col("_chg")).count()
         labels = new_labels.select("node", "component")
         if changed == 0:
