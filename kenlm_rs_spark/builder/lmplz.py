@@ -381,8 +381,15 @@ def estimate_df(
     if vocab_pad and not interpolate_unigrams:
         raise ValueError("--vocab_pad requires --interpolate_unigrams")
     uniform = 1.0 / max(vocab_pad, vocab_rows + 1, 1)  # + <unk>
-    g_eps_row = gammas.filter(F.col("n_ctx") == 0).collect()
-    g_eps = float(g_eps_row[0]["gamma"]) if g_eps_row else 0.0
+    # gamma(eps) as a LAZY 1-row frame (r7 second pass — the former
+    # collect() was one more sequential materialization wave over the
+    # cached gammas; the broadcast cross join evaluates the same JVM
+    # arithmetic inside the final job): g_eps_df has exactly one row,
+    # coalescing the empty-filter case to 0.0 like the old Python default.
+    g_eps_df = (
+        gammas.filter(F.col("n_ctx") == 0)
+        .agg(F.coalesce(F.first("gamma"), F.lit(0.0)).alias("_geps"))
+    )
 
     gam = gammas.select(
         F.col("gram").alias("g_ctx"), F.col("n_ctx"), F.col("gamma")
@@ -391,15 +398,31 @@ def estimate_df(
     # order 1 (initial_probabilities.cc:218-250): interpolated (default)
     # p = u + gamma(eps) * uniform with <unk> a zeroton; SRI style
     # (--interpolate_unigrams 0) gives ALL the interpolation mass to <unk>:
-    # p(w) = u(w), p(<unk>) = gamma(eps)
-    uni_add = g_eps * uniform if interpolate_unigrams else 0.0
-    unk_mass = g_eps * uniform if interpolate_unigrams else g_eps
-    p1 = probs.filter(F.col("n") == 1).select(
-        "gram", (F.col("u") + F.lit(uni_add)).alias("p")
+    # p(w) = u(w), p(<unk>) = gamma(eps).  The g_eps*uniform product is the
+    # same IEEE double multiply the old Python-side literal performed.
+    if interpolate_unigrams:
+        uni_add = F.col("_geps") * F.lit(uniform)
+        unk_mass = F.col("_geps") * F.lit(uniform)
+    else:
+        uni_add = F.lit(0.0)
+        unk_mass = F.col("_geps")
+    p1 = (
+        probs.filter(F.col("n") == 1)
+        .crossJoin(F.broadcast(g_eps_df))
+        .select("gram", (F.col("u") + uni_add).alias("p"))
     )
-    extra = df.sparkSession.createDataFrame(
-        [(["<unk>"], unk_mass), (["<s>"], 0.0)],
-        "gram array<string>, p double",
+    extra = (
+        df.sparkSession.range(1)
+        .crossJoin(F.broadcast(g_eps_df))
+        .select(
+            F.array(F.lit("<unk>")).alias("gram"), unk_mass.alias("p")
+        )
+        .unionByName(
+            df.sparkSession.range(1).select(
+                F.array(F.lit("<s>")).alias("gram"),
+                F.lit(0.0).alias("p"),
+            )
+        )
     )
     p1 = p1.join(extra.select("gram"), "gram", "left_anti").unionByName(extra)
     levels = [p1.withColumn("n", F.lit(1)).cache()]
