@@ -63,6 +63,109 @@ PAGERANK_BROADCAST_MAX_NODES = int(
     os.environ.get("KENLM_PAGERANK_BROADCAST_MAX_NODES", "4000000")
 )
 
+#: Hybrid local execution bound (the ops/bpe.py precedent, guide §8:
+#: decide on driver-sized state locally).  A distinct edge table at or
+#: under this row count (~32 MB of (long, long) at the default) is
+#: collected ONCE and the synchronous iteration runs on the driver via
+#: the bit-exact decimal twin `_pagerank_local`; wall time for small
+#: graphs is otherwise pure per-iteration stage latency (5 iterations x
+#: several scheduling barriers), not data.  Above the bound the
+#: distributed plan below runs unchanged — scale-adaptive on the real
+#: edge count, never on core count.
+PAGERANK_LOCAL_MAX_EDGES = int(
+    os.environ.get("KENLM_PAGERANK_LOCAL_MAX_EDGES", "2000000")
+)
+
+
+def _r9(x: float):
+    """Spark's round(double, 9) twin.  Catalyst's Round goes through
+    BigDecimal.valueOf(double) — the SHORTEST decimal string of the
+    double (Double.toString), NOT its exact binary expansion — then
+    setScale(9, HALF_UP).  Python's repr() is the same shortest
+    round-trip decimal, so Decimal(repr(x)) mirrors the JVM chain; using
+    Decimal(x) (the exact expansion) diverges on half-way boundaries —
+    caught by test_pagerank_local_matches_distributed during
+    development."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _dec9(x: float):
+    """Spark's cast(double AS decimal(38,9)) twin — Spark's Decimal also
+    wraps BigDecimal.valueOf(double) (shortest string), then HALF_UP to
+    scale 9."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(repr(x)).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+
+
+def _jvm_double(d) -> float:
+    """BigDecimal.doubleValue twin for compact scale-9 decimals: OpenJDK
+    returns (double)unscaledLong / 1.0e9 — ONE IEEE division, which is
+    NOT always the correctly-rounded decimal→double conversion that
+    Python's float(Decimal) performs (1-ulp divergences surfaced in
+    test_pagerank_local_matches_distributed).  Both operands are exactly
+    representable here (|unscaled| < 2^52 for any in-bound graph)."""
+    return float(int(d.scaleb(9).to_integral_value())) / 1.0e9
+
+
+def _pagerank_local(
+    edge_rows, n_iter: int, damping: float, dangling: str
+) -> list:
+    """Driver-side bit-exact twin of the distributed iteration: every
+    float op is the same IEEE double op in the same order, every round is
+    the HALF_UP decimal quantize of functions.round, every per-destination
+    sum is an exact decimal sum (order-independent, like DECIMAL(38,9)),
+    and decimal->double conversions are correctly rounded on both sides.
+    Verified bit-equal to the distributed path by
+    tests/test_graph.py::test_pagerank_local_matches_distributed and by
+    the driver oracle rows (the DuckDB twin is a third implementation)."""
+    from decimal import Decimal
+
+    out_deg: dict = {}
+    nodes = set()
+    adj: dict = {}
+    for s, d in edge_rows:
+        nodes.add(s)
+        nodes.add(d)
+        out_deg[s] = out_deg.get(s, 0) + 1
+        adj.setdefault(s, []).append(d)
+    n = len(nodes)
+    if n == 0:  # empty graph -> empty result, like the distributed path
+        return []
+    base = 1.0 - damping
+    k0 = _r9(1.0 / float(n))
+    ranks = {v: k0 for v in nodes}
+    dang = [v for v in nodes if v not in out_deg]
+    zero = Decimal(0).quantize(Decimal("1e-9"))
+    for _ in range(n_iter):
+        sums: dict = {}
+        for s, deg in out_deg.items():
+            c = _dec9(_r9(ranks[s] / deg))
+            for d in adj[s]:
+                sums[d] = sums.get(d, zero) + c
+        if dangling == "redistribute":
+            dsum = sum((_dec9(ranks[v]) for v in dang), zero)
+            ds = _r9(_jvm_double(dsum) / float(n))
+            ranks = {
+                v: _r9(
+                    base / float(n)
+                    + damping * (_jvm_double(sums.get(v, zero)) + ds)
+                )
+                for v in nodes
+            }
+        else:
+            ranks = {
+                v: _r9(
+                    base / float(n) + damping * _jvm_double(sums.get(v, zero))
+                )
+                for v in nodes
+            }
+    return sorted(ranks.items())
+
 # href="..." / href='...' — attribute form only, tag-agnostic (matches <a>,
 # <link>, <area>); the canonicalization/scheme filter composes downstream
 # (ops/urls.canonical_url).
@@ -130,6 +233,26 @@ def pagerank(
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     ).distinct()
+    # hybrid local execution (the ops/bpe.py shape, guide §8): when the
+    # DISTINCT edge table fits the driver bound, collect it once (bounded
+    # by limit(cap+1)) and run the synchronous iteration via the bit-exact
+    # decimal twin — for small graphs the distributed loop's wall time is
+    # per-iteration stage latency, not data.  Above the bound nothing is
+    # collected and the distributed plan below runs unchanged.
+    if PAGERANK_LOCAL_MAX_EDGES > 0:
+        head = e.limit(PAGERANK_LOCAL_MAX_EDGES + 1).collect()
+        if len(head) <= PAGERANK_LOCAL_MAX_EDGES:
+            ranks_local = _pagerank_local(
+                [(r["src"], r["dst"]) for r in head],
+                n_iter,
+                damping,
+                dangling,
+            )
+            out = spark.createDataFrame(
+                ranks_local, "node long, rank double"
+            )
+            out.cached_deps = []
+            return out
     e = e.persist()
     # ONE fused aggregation yields every loop-invariant node fact (r7 second
     # pass, guide §2.4): node set = distinct(src ∪ dst), out-degree = count
@@ -264,12 +387,22 @@ def pagerank(
                         )
                     )
                     .select(
+                        # the ADD must stay at SCALE 9: a (38,9)+(31,9)
+                        # add needs precision 39 and Spark's precision-
+                        # loss rule silently clips the result to scale 8,
+                        # dropping the 9th decimal of the mass (caught by
+                        # the bit-exact local twin's dense-parity test).
+                        # Both operands are bounded by the total rank
+                        # mass (~1), so the exact downcasts to (20,9)
+                        # can never overflow.
                         (
-                            F.col("dsum_in")
-                            + (F.lit(n_dang) - F.col("cnt_in")).cast(
-                                "decimal(20,0)"
-                            )
-                            * k_expr(F.col("_dsp")).cast("decimal(10,9)")
+                            F.col("dsum_in").cast("decimal(20,9)")
+                            + (
+                                (F.lit(n_dang) - F.col("cnt_in")).cast(
+                                    "decimal(20,0)"
+                                )
+                                * k_expr(F.col("_dsp")).cast("decimal(10,9)")
+                            ).cast("decimal(20,9)")
                         ).alias("dsum")
                     )
                     .select(

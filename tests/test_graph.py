@@ -209,3 +209,32 @@ def test_anchor_topk_rank_and_tiebreak(spark):
     ]
     # tie at n=3 broken on anchor asc: 'also-mid' beats 'mid'; k=2 drops both others
     assert got == [("big", 5, 1), ("also-mid", 3, 2)]
+
+
+def test_pagerank_local_matches_distributed(spark, monkeypatch):
+    """The hybrid driver-side twin must be BIT-equal to the distributed
+    iteration (every round/decimal/double op mirrored), on a graph with
+    hubs, chains, dangling nodes and uneven out-degrees, for both
+    dangling modes."""
+    import kenlm_rs_spark.ops.graph as G
+
+    edges = (
+        [(i, (i * 7 + 3) % 23) for i in range(23)]
+        + [(i, (i * 5 + 11) % 23) for i in range(23)]
+        + [(i, i - i % 4) for i in range(23)]
+    )
+    e = spark.createDataFrame(edges, "src long, dst long").filter(
+        (F.col("src") % 9) != 4  # real dangling nodes
+    )
+    for mode in ("drop", "redistribute"):
+        monkeypatch.setattr(G, "PAGERANK_LOCAL_MAX_EDGES", 10**6)
+        local = {
+            r["node"]: r["rank"]
+            for r in G.pagerank(e, n_iter=5, dangling=mode).collect()
+        }
+        monkeypatch.setattr(G, "PAGERANK_LOCAL_MAX_EDGES", 0)
+        dist = G.pagerank(e, n_iter=5, dangling=mode)
+        got = {r["node"]: r["rank"] for r in dist.collect()}
+        for d in getattr(dist, "cached_deps", []):
+            d.unpersist()
+        assert local == got, f"bit mismatch in mode={mode}"
