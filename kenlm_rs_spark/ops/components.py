@@ -27,8 +27,51 @@ so partial progress is kept, never thrown away.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Hybrid local execution bound (the ops/bpe.py / ops/graph.py shape,
+#: guide §8): a pair table at or under this row count is collected once
+#: (bounded by limit(cap+1)) and resolved with driver-side union-find —
+#: the result (component = min node id, an INTEGER fact) is exact by
+#: definition, so unlike the float twins there is no parity surface at
+#: all.  Near-dup pair tables are collision-sized, orders of magnitude
+#: smaller than the corpus; above the bound the iterative plan below
+#: runs unchanged.
+COMPONENTS_LOCAL_MAX_EDGES = int(
+    os.environ.get("KENLM_COMPONENTS_LOCAL_MAX_EDGES", "2000000")
+)
+
+
+def _components_local(edge_rows) -> list:
+    """(node, min-id-of-component) via union-find with path compression —
+    the exact fixpoint the iterative/min-label and large-star/small-star
+    paths converge to."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edge_rows:
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        if r not in comp_min or v < comp_min[r]:
+            comp_min[r] = v
+    return sorted((v, comp_min[find(v)]) for v in parent)
 
 
 def _canon(e: DataFrame) -> DataFrame:
@@ -119,6 +162,30 @@ def connected_components(
     min-label propagation is still changing after ``max_iter`` rounds."""
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    # hybrid local path (guide §8): collect the raw pair table when it
+    # fits the driver bound and resolve exactly with union-find — the
+    # min-label fixpoint is an integer fact, identical by definition
+    src_t = edges.schema[src_col].dataType
+    if COMPONENTS_LOCAL_MAX_EDGES > 0 and src_t == edges.schema[dst_col].dataType:
+        head = (
+            edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+            .limit(COMPONENTS_LOCAL_MAX_EDGES + 1)
+            .collect()
+        )
+        if len(head) <= COMPONENTS_LOCAL_MAX_EDGES and all(
+            r["a"] is not None and r["b"] is not None for r in head
+        ):
+            from pyspark.sql.types import StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField("node", src_t, False),
+                    StructField("component", src_t, False),
+                ]
+            )
+            return edges.sparkSession.createDataFrame(
+                _components_local([(r["a"], r["b"]) for r in head]), schema
+            )
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(

@@ -16,12 +16,14 @@ def test_components_two_clusters(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
 
 
-def test_components_long_chain_converges(spark):
+def test_components_long_chain_converges(spark, monkeypatch):
     """A 12-node path needs multiple propagation rounds (diameter 11 with
-    min flowing from one end) — exercises the fixpoint loop, not just one
-    round."""
+    min flowing from one end) — exercises the DISTRIBUTED fixpoint loop
+    (local hybrid forced off), not just one round."""
+    import kenlm_rs_spark.ops.components as C
     from kenlm_rs_spark.ops.components import connected_components
 
+    monkeypatch.setattr(C, "COMPONENTS_LOCAL_MAX_EDGES", 0)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(11)], "src long, dst long"
     )
@@ -80,12 +82,15 @@ def test_mixing_token_budget(spark):
     assert rows[5]["cum_tokens"] == 1
 
 
-def test_components_fallback_large_small_star(spark):
+def test_components_fallback_large_small_star(spark, monkeypatch):
     """Exhausting max_iter escalates to large-star/small-star (Kiveris et
     al. 2014) and still returns correct components — never raises, never
-    returns wrong labels (VERDICT r4 item 5)."""
+    returns wrong labels (VERDICT r4 item 5). Local hybrid forced off so
+    the escalation path itself is exercised."""
+    import kenlm_rs_spark.ops.components as C
     from kenlm_rs_spark.ops.components import connected_components
 
+    monkeypatch.setattr(C, "COMPONENTS_LOCAL_MAX_EDGES", 0)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(11)], "src long, dst long"
     )
@@ -96,12 +101,16 @@ def test_components_fallback_large_small_star(spark):
     assert got == {i: 0 for i in range(12)}
 
 
-def test_components_adversarial_chain_converges(spark):
+def test_components_adversarial_chain_converges(spark, monkeypatch):
     """A 200-node path (diameter 199 — templated-spam shape) through the
     default budget: propagation stalls at 25 rounds, the star fallback
     finishes in O(log^2 n) without raising; plus a disjoint clique to
-    check the fallback keeps components separate."""
+    check the fallback keeps components separate. Local hybrid forced
+    off."""
+    import kenlm_rs_spark.ops.components as C
     from kenlm_rs_spark.ops.components import connected_components
+
+    monkeypatch.setattr(C, "COMPONENTS_LOCAL_MAX_EDGES", 0)
 
     chain = [(i, i + 1) for i in range(199)]
     clique = [(1000 + i, 1000 + j) for i in range(4) for j in range(i + 1, 4)]
@@ -270,3 +279,29 @@ def test_token_budget_two_phase_no_group_sort(spark):
     # membership sanity: ~600/1500 tokens kept => about 200 docs + first row
     kept = out.filter("mix_keep").count()
     assert 150 <= kept <= 250
+
+
+def test_components_local_matches_distributed(spark, monkeypatch):
+    """The hybrid union-find must equal the distributed fixpoint exactly
+    (integer min-label facts) on a graph mixing chains, cliques, self
+    loops, duplicate and reversed edges."""
+    import kenlm_rs_spark.ops.components as C
+    from kenlm_rs_spark.ops.components import connected_components
+
+    rows = (
+        [(i, i + 1) for i in range(30)]
+        + [(100 + i, 100 + (i * 3) % 7) for i in range(7)]
+        + [(5, 5), (2, 1), (1, 2), (200, 300)]
+    )
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    monkeypatch.setattr(C, "COMPONENTS_LOCAL_MAX_EDGES", 10**6)
+    local = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    monkeypatch.setattr(C, "COMPONENTS_LOCAL_MAX_EDGES", 0)
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert local == dist
