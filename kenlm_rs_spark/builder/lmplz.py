@@ -386,9 +386,16 @@ def estimate_df(
     # cached gammas; the broadcast cross join evaluates the same JVM
     # arithmetic inside the final job): g_eps_df has exactly one row,
     # coalescing the empty-filter case to 0.0 like the old Python default.
+    # lazy checkpoint: the 1-row frame is cross-joined into p1/extra, whose
+    # lineage is embedded in EVERY interpolation level — without truncation
+    # the gammas→adjusted→raw subtree nests once more per level and the
+    # order-5 plan tree explodes (driver-heap OOM observed in a pressured
+    # shared session); the checkpoint cuts it to a 1-row RDD scan while
+    # still materializing inside the first consuming job (no extra wave)
     g_eps_df = (
         gammas.filter(F.col("n_ctx") == 0)
         .agg(F.coalesce(F.first("gamma"), F.lit(0.0)).alias("_geps"))
+        .localCheckpoint(eager=False)
     )
 
     gam = gammas.select(
