@@ -1331,14 +1331,15 @@ def q_bloom_filter(spark, sf_dir):
     texts of docs with doc_id % 7 == 0, m=65536 bits, k=5 salted-md5
     hashes. Output shows bloom_maybe next to exact is_member so false
     positives are observable (never false negatives)."""
-    from kenlm_rs_spark.ops.bloom import bloom_build, bloom_might_contain
+    from kenlm_rs_spark.ops.bloom import bloom_bitmap_df, bloom_might_contain_col
 
     docs = _docs(spark, sf_dir)
     seen = docs.filter(F.col("doc_id") % 7 == 0).select("text").distinct()
-    positions = [
-        r["pos"] for r in bloom_build(seen, "text", m_bits=65536, k=5).collect()
-    ]
-    probed = bloom_might_contain(docs, positions, "text", m_bits=65536, k=5)
+    # r7 second pass: the bitmap is a LAZY 1-row frame (in-plan bit_or
+    # packing) broadcast into the probe — the former positions collect was
+    # a full blocking wave over the seen-key scan; bit content identical
+    words = bloom_bitmap_df(seen, "text", m_bits=65536, k=5)
+    probed = bloom_might_contain_col(docs, words, "text", m_bits=65536, k=5)
     return (
         probed.join(
             F.broadcast(seen.withColumn("_m", F.lit(True))), "text", "left"

@@ -125,6 +125,87 @@ def bloom_might_contain(
     return df.withColumn(out_col, maybe)
 
 
+def bloom_bitmap_df(
+    keys_df: DataFrame,
+    key_col: str,
+    m_bits: int,
+    k: int = 5,
+    seed: str = "bloom",
+) -> DataFrame:
+    """The filter as a LAZY 1-row frame (words: array<long>, m/64 packed
+    words) built entirely in-plan — one groupBy(word index) bit_or plus a
+    dense-array assembly — so a probe needs NO blocking positions collect
+    (r7 second pass, guide §1.2-1: the collect was a full sequential wave
+    over the seen-key scan).  Bit content is identical to
+    bitmap_words(bloom_build(...)): OR is idempotent so the positions
+    table's distinct is unnecessary, and shiftleft(1L, p&63) wraps the
+    sign bit exactly like the Python packer.  Lineage is checkpoint-
+    truncated so multi-branch consumers embed a 1-row scan, not the
+    seen-key subtree."""
+    if m_bits < 64:
+        raise ValueError(f"m_bits must be >= 64, got {m_bits}")
+    n_words = (m_bits + 63) // 64
+    key = F.col(key_col)
+    pos = F.explode(
+        F.array(*[_position_col(key, i, m_bits, seed) for i in range(k)])
+    ).alias("pos")
+    return (
+        keys_df.select(pos)
+        .select(
+            F.shiftright("pos", 6).cast("int").alias("wi"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pos & 63 as int))").alias(
+                "b"
+            ),
+        )
+        .groupBy("wi")
+        .agg(F.expr("bit_or(b)").alias("w"))
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("wi", "w"))).alias("m")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("m"), i), F.lit(0).cast("long")
+                ),
+            ).alias("words")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def bloom_might_contain_col(
+    df: DataFrame,
+    words_df: DataFrame,
+    key_col: str,
+    m_bits: int,
+    k: int = 5,
+    seed: str = "bloom",
+    out_col: str = "bloom_maybe",
+) -> DataFrame:
+    """Probe against a ``bloom_bitmap_df`` frame: the 1-row words array
+    arrives by broadcast cross join and the k bit tests are the identical
+    codegen AND-chain of the literal path — value-equal by construction
+    (tests/test_bloom.py asserts all three paths agree)."""
+    key = F.col(key_col)
+
+    def bit_set(i: int) -> Column:
+        pos = _position_col(key, i, m_bits, seed)
+        word = F.element_at(
+            F.col("__bloom_words"), (F.floor(pos / 64) + 1).cast("int")
+        )
+        return F.getbit(word, pos.bitwiseAND(F.lit(63))) == 1
+
+    maybe = reduce(lambda a, b: a & b, [bit_set(i) for i in range(k)])
+    return (
+        df.crossJoin(
+            F.broadcast(words_df.select(F.col("words").alias("__bloom_words")))
+        )
+        .withColumn(out_col, maybe)
+        .drop("__bloom_words")
+    )
+
+
 def bloom_might_contain_udf(
     df: DataFrame,
     bitmap,

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kenlm_rs_spark.ops.bloom import bloom_build, bloom_might_contain
+from kenlm_rs_spark.ops.bloom import bloom_bitmap_df, bloom_might_contain_col
 
 
 def incremental_dedup(
@@ -50,11 +50,13 @@ def incremental_dedup(
     seen_keys = seen_df.select(F.col(key_col)).where(
         F.col(key_col).isNotNull()
     ).distinct()
-    positions = [
-        r["pos"] for r in bloom_build(seen_keys, key_col, m_bits, k, seed).collect()
-    ]
-    probed = bloom_might_contain(
-        new_df, positions, key_col, m_bits, k, seed, out_col="bloom_maybe"
+    # r7 second pass: the bitmap is a LAZY 1-row frame (in-plan bit_or
+    # packing, lineage checkpoint-truncated) broadcast into the probe —
+    # the former positions collect was a blocking wave over the old-key
+    # scan; bit content identical (tests/test_bloom.py path parity)
+    words = bloom_bitmap_df(seen_keys, key_col, m_bits, k, seed)
+    probed = bloom_might_contain_col(
+        new_df, words, key_col, m_bits, k, seed, out_col="bloom_maybe"
     )
     negatives = probed.filter(~F.col("bloom_maybe")).withColumn(
         "is_new", F.lit(True)

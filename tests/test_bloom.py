@@ -61,6 +61,27 @@ def test_expression_and_udf_paths_agree(spark, keyed):
     assert expr == arrow
 
 
+def test_lazy_bitmap_column_path_agrees(spark, keyed):
+    """r7: the in-plan bitmap frame + column probe must be value-identical
+    to the literal expression path (same words, same bit tests), and the
+    assembled words array must equal bitmap_words exactly."""
+    from kenlm_rs_spark.ops.bloom import bloom_bitmap_df, bloom_might_contain_col
+
+    df, positions = keyed
+    seen = df.filter(F.col("doc_id") % 4 == 0).select("key")
+    words_df = bloom_bitmap_df(seen, "key", M, k=K)
+    assert list(words_df.collect()[0]["words"]) == bitmap_words(positions, M)
+    expr = {
+        r["doc_id"]: r["bloom_maybe"]
+        for r in bloom_might_contain(df, positions, "key", M, k=K).collect()
+    }
+    col = {
+        r["doc_id"]: r["bloom_maybe"]
+        for r in bloom_might_contain_col(df, words_df, "key", M, k=K).collect()
+    }
+    assert expr == col
+
+
 def test_bitmap_words_bit63_sign():
     words = bitmap_words([63], 64)
     assert len(words) == 1
