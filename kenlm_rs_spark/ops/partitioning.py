@@ -10,7 +10,7 @@ recombined in a second reduce — the classic two-level salted aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -26,11 +26,14 @@ def repartition_by_url(df: DataFrame, partitions: int, url_col: str = "url") -> 
 def hot_keys(df: DataFrame, key: Column, threshold_fraction: float = 0.01,
              rsd: float = 0.05) -> list:
     """Detect heavy-hitter keys holding more than ``threshold_fraction`` of
-    rows (one aggregate pass; cheap relative to the main job)."""
-    total = df.count()
+    rows (ONE aggregate pass and ONE driver wave — r7: the total rides a
+    whole-frame window over the already-grouped counts instead of a
+    separate count() job; sum(c) == the old df.count() exactly, and the
+    long*double threshold product is the same IEEE multiply)."""
     rows = (
         df.groupBy(key.alias("k")).agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= total * threshold_fraction)
+        .withColumn("_total", F.sum("c").over(Window.partitionBy()))
+        .filter(F.col("c") >= F.col("_total") * F.lit(threshold_fraction))
         .collect()
     )
     return [r["k"] for r in rows]
