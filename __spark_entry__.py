@@ -2406,10 +2406,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_scores": q_dsir_scores,
         "bpe_encode": q_bpe_encode,
         # --- r7 second pass: code changed (posting-list pair generation,
-        # --- array-intersect verify, doc-keyed exchange) ---
+        # --- array-intersect verify, doc-keyed exchange, in-plan bloom
+        # --- bitmap, fused hot-key pass) ---
         "winnow_pairs": q_winnow_pairs,
         "lsh_jaccard": q_lsh_jaccard,
         "gopher_repetition": q_gopher_repetition,
+        "bloom_filter": q_bloom_filter,
+        "incremental_dedup": q_incremental_dedup,
+        "salted_domain_counts": q_salted_domain_counts,
         # --- never-recorded residue of the r6 rotation ---
         "temperature_sample_a07": q_temperature_sample_a07,
         "audio_mp3_metadata": q_audio_mp3_metadata,
@@ -2419,13 +2423,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_split": q_domain_split,
         # --- oldest official rows (r4/r5), refreshed ---
         "perplexity_docs": q_perplexity_docs,
-        "langid_docs": q_langid_docs,
         "filter_pipeline": q_filter_pipeline,
-        "quality_features": q_quality_features,
         "minhash_signatures": q_minhash_signatures,
         "dedup_jaccard": q_dedup_jaccard,
         "simhash": q_simhash,
-        "ngram_counts": q_ngram_counts,
         "continuation_counts": q_continuation_counts,
         "count_of_counts": q_count_of_counts,
         "pruned_counts": q_pruned_counts,
@@ -2435,6 +2436,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiout_filter": q_multiout_filter,
         "phrase_filter": q_phrase_filter,
         # --- recorded r6 (or unchanged r4/r5 rows), rotated to the back ---
+        "quality_features": q_quality_features,
+        "langid_docs": q_langid_docs,
+        "ngram_counts": q_ngram_counts,
         "token_stats": q_token_stats,
         "pii_scrub": q_pii_scrub,
         "dedup_exact": q_dedup_exact,
@@ -2450,7 +2454,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_pixel_stats": q_gif_pixel_stats,
         "sentence_stats": q_sentence_stats,
         "pack_sequences": q_pack_sequences,
-        "bloom_filter": q_bloom_filter,
         "extract_links": q_extract_links,
         "link_degrees": q_link_degrees,
         "warc_parse": q_warc_parse,
@@ -2463,7 +2466,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": q_hist_quantiles,
         "mixed_language": q_mixed_language,
         "training_order": q_training_order,
-        "incremental_dedup": q_incremental_dedup,
         "char_entropy": q_char_entropy,
         "chunk_documents": q_chunk_documents,
         "psi_drift": q_psi_drift,
@@ -2476,7 +2478,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_resample": q_bucket_resample,
         "decontaminate": q_decontaminate,
         "gopher_rules": q_gopher_rules,
-        "salted_domain_counts": q_salted_domain_counts,
         "paragraph_stats": q_paragraph_stats,
         "union_filter": q_union_filter,
         "suffix_sort_topk": q_suffix_sort_topk,
